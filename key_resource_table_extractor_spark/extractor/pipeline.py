@@ -1,0 +1,472 @@
+"""Vectorized per-batch extraction (the Spark-side implementation).
+
+The whole five-stage cascade of the reference (SURVEY.md §0) runs as a pure
+function over one Arrow batch of ``(doc_id, spans)`` rows inside
+``mapInPandas`` / ``mapInArrow``. Design:
+
+- batch-global passes (line features, in-table scoring, gap fill, island
+  detection) are fully vectorized with pandas/numpy over *all* lines of *all*
+  docs in the batch at once;
+- per-region structure work (column trap-range union, segment→column
+  assignment, merge votes) is numpy over each region's small arrays —
+  the same two-pointer/searchsorted shape as the reference's Java merges
+  (PDFTableExtractor2.java:271-302,574-593) instead of O(n²) scans;
+- documents are isolated: a failing document yields a single ``kind='error'``
+  row (the reference stores per-job err_msg, task_manager.py:56-59) and
+  never fails the stage.
+
+No per-row Python UDFs; the only O(lines) Python loop is the compiled-regex
+segment scan (C-speed finditer).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import traceback
+
+import numpy as np
+import pandas as pd
+
+from .. import spec
+
+_SEG_RE = re.compile(spec.SEGMENT_REGEX)
+_RRID_PAT = spec.RRID_REGEX
+_KIND_ERROR = "error"
+
+OUTPUT_COLUMNS = ["doc_id", "seq", "kind", "text", "media_ref", "offset"]
+
+
+# --------------------------------------------------------------------------
+# batch-global vectorized passes
+# --------------------------------------------------------------------------
+
+def _segment_scan(texts: np.ndarray):
+    """Flat segment arrays for all lines: (line_idx, start, end, text)."""
+    seg_line: list[int] = []
+    seg_start: list[int] = []
+    seg_end: list[int] = []
+    seg_text: list[str] = []
+    n_segs = np.zeros(len(texts), dtype=np.int32)
+    indent = np.zeros(len(texts), dtype=np.int32)
+    finditer = _SEG_RE.finditer
+    for i, t in enumerate(texts):
+        first = True
+        cnt = 0
+        for m in finditer(t):
+            seg_line.append(i)
+            seg_start.append(m.start())
+            seg_end.append(m.end())
+            seg_text.append(m.group())
+            if first:
+                indent[i] = m.start()
+                first = False
+            cnt += 1
+        n_segs[i] = cnt
+    return (
+        np.asarray(seg_line, dtype=np.int64),
+        np.asarray(seg_start, dtype=np.int64),
+        np.asarray(seg_end, dtype=np.int64),
+        np.asarray(seg_text, dtype=object),
+        n_segs,
+        indent,
+    )
+
+
+def _line_features(li_doc: np.ndarray, texts: pd.Series):
+    """Vectorized RRID / header-keyword features (F4, header rule)."""
+    up = texts.str.upper()
+    has_rrid = texts.str.contains(_RRID_PAT, regex=True, na=False).to_numpy()
+    hdr = up.str.contains(spec.HEADER_TITLE, regex=False, na=False).to_numpy()
+    kw_hits = np.zeros(len(texts), dtype=np.int32)
+    for kw in spec.HEADER_KEYWORDS:
+        kw_hits += up.str.contains(r"\b%s\b" % kw, regex=True, na=False).to_numpy()
+    is_header = hdr | (kw_hits >= spec.HEADER_MIN_KEYWORDS)
+    return has_rrid, is_header
+
+
+def _in_table_pass(li_doc, n_segs, indent, has_rrid, is_header):
+    """Base rule + continuation threading + gap fill + islands.
+
+    Returns ``region_id`` per line (-1 = not in a kept region). All steps are
+    groupby-ffill/cumsum tricks — the gaps-and-islands shape of SURVEY §2 A1/A2
+    executed batch-wide.
+    """
+    n = len(li_doc)
+    blank = n_segs == 0
+    base = (n_segs >= spec.MIN_SEGS_IN_TABLE) | has_rrid | is_header
+    eligible = (n_segs == 1) & (indent >= spec.CONTINUATION_MIN_INDENT)
+
+    df = pd.DataFrame({"doc": li_doc})
+    # anchors: non-blank lines whose effective state equals their base state
+    anchor = (~blank) & (~eligible | base)
+    carried = (
+        pd.Series(np.where(anchor, base, np.nan))
+        .groupby(df["doc"])
+        .ffill()
+        .fillna(0.0)
+        .to_numpy()
+        .astype(bool)
+    )
+    in_tab = base | (eligible & ~base & carried)
+
+    # gap fill (W4): short non-blank runs between two in-table lines
+    pos = df.groupby("doc").cumcount().to_numpy()
+    doc_start = np.flatnonzero(np.r_[True, li_doc[1:] != li_doc[:-1]])
+    doc_start_of = doc_start[np.searchsorted(doc_start, np.arange(n), "right") - 1]
+    tpos = pd.Series(np.where(in_tab, pos.astype(float), np.nan))
+    prev_t = tpos.groupby(df["doc"]).ffill().to_numpy()
+    next_t = tpos.groupby(df["doc"]).bfill().to_numpy()
+    blank_cum = pd.Series(blank.astype(np.int64)).groupby(df["doc"]).cumsum().to_numpy()
+    mid = (~in_tab) & (~blank) & ~np.isnan(prev_t) & ~np.isnan(next_t)
+    fill = np.zeros(n, dtype=bool)
+    if mid.any():
+        m_idx = np.flatnonzero(mid)
+        p = prev_t[m_idx].astype(np.int64) + doc_start_of[m_idx]
+        q = next_t[m_idx].astype(np.int64) + doc_start_of[m_idx]
+        gap_len = next_t[m_idx] - prev_t[m_idx] - 1
+        blanks_between = blank_cum[q - 1] - blank_cum[p]
+        fill[m_idx] = (gap_len <= spec.GAP_FILL_MAX) & (blanks_between == 0)
+    in_tab = in_tab | fill
+
+    # islands: contiguous in-table runs; keep relevant ones of size >= min
+    doc_change = np.r_[True, li_doc[1:] != li_doc[:-1]]
+    start = in_tab & (doc_change | ~np.r_[False, in_tab[:-1]])
+    island = np.where(in_tab, np.cumsum(start), 0)
+    n_isl = int(island.max()) if n else 0
+    region_id = np.full(n, -1, dtype=np.int64)
+    if n_isl:
+        sizes = np.bincount(island, minlength=n_isl + 1)
+        relevant = np.bincount(
+            island, weights=(is_header | has_rrid).astype(np.int64),
+            minlength=n_isl + 1,
+        )
+        keep = (sizes >= spec.MIN_REGION_LINES) & (relevant > 0)
+        keep[0] = False
+        region_id = np.where(keep[island], island, -1)
+    return region_id
+
+
+# --------------------------------------------------------------------------
+# per-region structure build (numpy; small arrays)
+# --------------------------------------------------------------------------
+
+def _column_union(starts: np.ndarray, ends: np.ndarray):
+    """Merge overlapping segment x-intervals → disjoint column trap ranges."""
+    order = np.argsort(starts, kind="stable")
+    s, e = starts[order], ends[order]
+    cmax = np.maximum.accumulate(e)
+    brk = np.r_[True, s[1:] > cmax[:-1] + spec.COLUMN_MERGE_TOL]
+    grp = np.cumsum(brk) - 1
+    # group starts: first s per group (s sorted asc), ends: max e per group
+    first = np.r_[True, grp[1:] != grp[:-1]]
+    col_s = s[first]
+    col_e = np.maximum.reduceat(e, np.flatnonzero(first))
+    return col_s, col_e
+
+
+def _assign_columns(seg_s, seg_e, col_s, col_e):
+    """Max-overlap column per segment, leftmost tie, rightmost-start fallback."""
+    ce = col_e.astype(np.int64).copy()
+    ce[-1] = max(ce[-1], int(seg_e.max()))  # last column extends (reference
+    # expands the last column, PDFTableExtractor2.java:230-236)
+    ov = np.minimum(seg_e[:, None], ce[None, :]) - np.maximum(
+        seg_s[:, None], col_s[None, :]
+    )
+    best = ov.argmax(axis=1)
+    none = ov[np.arange(len(seg_s)), best] <= 0
+    if none.any():
+        fb = np.searchsorted(col_s, seg_s[none], side="right") - 1
+        best[none] = np.clip(fb, 0, len(col_s) - 1)
+    return best
+
+
+_LOWER_CONT = set(spec.CONTINUATION_LEADING_CHARS)
+
+
+def _merge_flags(cells: np.ndarray, is_hdr: np.ndarray) -> np.ndarray:
+    """Row-merge decision vs physical predecessor (votes, strict majority)."""
+    nrows, ncols = cells.shape
+    flags = np.zeros(nrows, dtype=bool)
+    if nrows < 2:
+        return flags
+    lower = cells[1:]
+    upper = cells[:-1]
+    votes = np.zeros(nrows - 1, dtype=np.int64)
+    for c in range(ncols):
+        lo = pd.Series(lower[:, c])
+        up = pd.Series(upper[:, c])
+        empty = (lo == "").to_numpy()
+        first = lo.str.slice(0, 1)
+        cont = (
+            first.str.islower().fillna(False).to_numpy()
+            | first.isin(list(_LOWER_CONT)).to_numpy()
+            | up.str.endswith(spec.DANGLING_SUFFIXES).fillna(False).to_numpy()
+        )
+        votes += (empty | cont).astype(np.int64)
+    flags[1:] = (votes * 2 > ncols) & ~is_hdr[1:]
+    return flags
+
+
+def _extract_doc_regions(
+    doc_id: str,
+    line_off: np.ndarray,
+    region_id: np.ndarray,
+    is_header: np.ndarray,
+    n_segs: np.ndarray,
+    seg_line: np.ndarray,
+    seg_s: np.ndarray,
+    seg_e: np.ndarray,
+    seg_t: np.ndarray,
+    media_off: np.ndarray,
+    media_ref: np.ndarray,
+    out: dict,
+) -> int:
+    """Emit one doc's regions into the output accumulator. Returns #tables."""
+    n_tables = 0
+    media_used = np.zeros(len(media_off), dtype=bool)
+    kept = np.flatnonzero(region_id >= 0)
+    if len(kept) == 0:
+        return 0
+    # contiguous runs of equal region ids
+    run_break = np.r_[True, region_id[kept][1:] != region_id[kept][:-1]]
+    run_starts = kept[run_break]
+    run_ends = np.r_[kept[np.flatnonzero(run_break)[1:] - 1], kept[-1]]
+    for lo_i, hi_i in zip(run_starts, run_ends):
+        lines_idx = np.arange(lo_i, hi_i + 1)
+        smask = (seg_line >= lo_i) & (seg_line <= hi_i)
+        sl, ss, se, st = seg_line[smask], seg_s[smask], seg_e[smask], seg_t[smask]
+        if len(sl) == 0:
+            continue
+        struct = n_segs[sl] >= spec.MIN_SEGS_IN_TABLE
+        if not struct.any():
+            continue
+        col_s, col_e = _column_union(ss[struct], se[struct])
+        ncols = len(col_s)
+        if ncols < spec.MIN_COLUMNS:
+            continue
+        col_of = _assign_columns(ss, se, col_s, col_e)
+        # cell grid (rows = physical lines of the region)
+        nl = len(lines_idx)
+        grid = np.full((nl, ncols), "", dtype=object)
+        local = sl - lo_i
+        for k in range(len(sl)):
+            r, c = local[k], col_of[k]
+            grid[r, c] = st[k] if grid[r, c] == "" else grid[r, c] + " " + st[k]
+        nonempty = np.array([(row != "").any() for row in grid])
+        if not nonempty.any():
+            continue
+        rows = grid[nonempty]
+        row_lines = lines_idx[nonempty]
+        hdr = is_header[row_lines]
+        merge = _merge_flags(rows, hdr)
+        gid = np.cumsum(~merge) - 1
+        ngroups = gid[-1] + 1
+        folded = np.full((ngroups, ncols), "", dtype=object)
+        for k in range(len(rows)):
+            g = gid[k]
+            for c in range(ncols):
+                v = rows[k, c]
+                if v != "":
+                    folded[g, c] = v if folded[g, c] == "" else folded[g, c] + " " + v
+        first_of_group = np.r_[True, gid[1:] != gid[:-1]]
+        grp_off = line_off[row_lines[first_of_group]]
+        # boundary media (emitted once, offset order)
+        lo_off = int(line_off[lo_i]) - spec.MEDIA_BOUNDARY_SLACK
+        hi_off = int(line_off[hi_i]) + spec.MEDIA_BOUNDARY_SLACK
+        mm = (~media_used) & (media_off >= lo_off) & (media_off <= hi_off)
+        media_used |= mm
+        m_off = media_off[mm]
+        m_ref = media_ref[mm]
+        # interleave: media sorts before a row at same offset (offsets unique)
+        ev_off = np.r_[m_off, grp_off]
+        ev_is_row = np.r_[np.zeros(len(m_off), bool), np.ones(ngroups, bool)]
+        ev_payload = np.r_[np.arange(len(m_off)), np.arange(ngroups)]
+        order = np.lexsort((ev_is_row, ev_off))
+        for ix in order:
+            if ev_is_row[ix]:
+                g = int(ev_payload[ix])
+                off = int(grp_off[g])
+                for c in range(ncols):
+                    out["doc_id"].append(doc_id)
+                    out["kind"].append(spec.KIND_TEXT)
+                    out["text"].append(folded[g, c])
+                    out["media_ref"].append("")
+                    out["offset"].append(off)
+            else:
+                j = int(ev_payload[ix])
+                out["doc_id"].append(doc_id)
+                out["kind"].append(spec.KIND_MEDIA)
+                out["text"].append("")
+                out["media_ref"].append(str(m_ref[j]))
+                out["offset"].append(int(m_off[j]))
+        n_tables += 1
+    return n_tables
+
+
+# --------------------------------------------------------------------------
+# batch entry points
+# --------------------------------------------------------------------------
+
+def extract_columnar(
+    doc_ids: np.ndarray,
+    span_doc: np.ndarray,
+    kinds: np.ndarray,
+    texts: np.ndarray,
+    media_refs: np.ndarray,
+    offsets: np.ndarray,
+) -> pd.DataFrame:
+    """Extraction over flat columnar span arrays for a batch of docs.
+
+    ``span_doc`` maps each span to its doc index in ``doc_ids``. Spans need
+    not be pre-sorted; we sort by (doc, offset) here.
+    """
+    order = np.lexsort((offsets, span_doc))
+    span_doc, kinds, texts = span_doc[order], kinds[order], texts[order]
+    media_refs, offsets = media_refs[order], offsets[order]
+
+    is_text = kinds == spec.KIND_TEXT
+    li_doc = span_doc[is_text]
+    li_off = offsets[is_text]
+    li_text_s = pd.Series(texts[is_text]).fillna("").astype(str)
+    li_text = li_text_s.to_numpy()
+
+    seg_line, seg_s, seg_e, seg_t, n_segs, indent = _segment_scan(li_text)
+    has_rrid, is_header = _line_features(li_doc, li_text_s)
+    region_id = _in_table_pass(li_doc, n_segs, indent, has_rrid, is_header)
+
+    is_media = kinds == spec.KIND_MEDIA
+    md_doc = span_doc[is_media]
+    md_off = offsets[is_media]
+    md_ref = media_refs[is_media]
+
+    out: dict[str, list] = {
+        "doc_id": [], "kind": [], "text": [], "media_ref": [], "offset": []
+    }
+    n_tables = 0
+    n_errors = 0
+    # per-doc slices (lines and media are doc-sorted)
+    line_doc_bounds = np.searchsorted(li_doc, np.arange(len(doc_ids) + 1))
+    media_doc_bounds = np.searchsorted(md_doc, np.arange(len(doc_ids) + 1))
+    seg_bounds = np.searchsorted(seg_line, line_doc_bounds)
+    for d in range(len(doc_ids)):
+        l0, l1 = line_doc_bounds[d], line_doc_bounds[d + 1]
+        m0, m1 = media_doc_bounds[d], media_doc_bounds[d + 1]
+        s0, s1 = seg_bounds[d], seg_bounds[d + 1]
+        if l0 == l1:
+            continue
+        try:
+            n_tables += _extract_doc_regions(
+                str(doc_ids[d]),
+                li_off[l0:l1],
+                region_id[l0:l1],
+                is_header[l0:l1],
+                n_segs[l0:l1],
+                seg_line[s0:s1] - l0,
+                seg_s[s0:s1],
+                seg_e[s0:s1],
+                seg_t[s0:s1],
+                md_off[m0:m1],
+                md_ref[m0:m1],
+                out,
+            )
+        except Exception:  # per-doc isolation (reference stores err_msg)
+            n_errors += 1
+            out["doc_id"].append(str(doc_ids[d]))
+            out["kind"].append(_KIND_ERROR)
+            out["text"].append(traceback.format_exc()[-500:])
+            out["media_ref"].append("")
+            out["offset"].append(-1)
+
+    # per-batch lineage/metrics row (aggregated into the checkpoint table by
+    # job.run_extraction — replaces the reference's Postgres job metrics)
+    if len(doc_ids):
+        stats = {
+            "n_docs": int(len(doc_ids)),
+            "n_spans_in": int(len(span_doc)),
+            "n_tables": int(n_tables),
+            "n_errors": int(n_errors),
+            "doc_id_min": str(min(doc_ids)),
+            "doc_id_max": str(max(doc_ids)),
+        }
+        out["doc_id"].append("__stats__")
+        out["kind"].append("stats")
+        out["text"].append(json.dumps(stats, sort_keys=True))
+        out["media_ref"].append("")
+        out["offset"].append(-1)
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array(out["doc_id"], dtype="string"),
+            "kind": pd.array(out["kind"], dtype="string"),
+            "text": pd.array(out["text"], dtype="string"),
+            "media_ref": pd.array(out["media_ref"], dtype="string"),
+            "offset": np.asarray(out["offset"], dtype=np.int32),
+        }
+    )
+    # seq: 0-based per doc in emission order (docs are emitted contiguously)
+    pdf["seq"] = pdf.groupby("doc_id", sort=False).cumcount().astype(np.int32)
+    return pdf[OUTPUT_COLUMNS]
+
+
+def extract_pandas_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Extraction over a ``(doc_id, spans)`` pandas batch (mapInPandas)."""
+    n = len(pdf)
+    if n == 0:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="string" if c not in ("seq", "offset") else "int32")
+             for c in OUTPUT_COLUMNS}
+        )
+    doc_ids = pdf["doc_id"].to_numpy()
+    span_lists = pdf["spans"].tolist()
+    lens = np.array([len(s) for s in span_lists], dtype=np.int64)
+    span_doc = np.repeat(np.arange(n), lens)
+    flat = [sp for lst in span_lists for sp in lst]
+    kinds = np.array([s["kind"] for s in flat], dtype=object)
+    texts = np.array([s["text"] for s in flat], dtype=object)
+    media = np.array([s["media_ref"] for s in flat], dtype=object)
+    offs = np.array([s["offset"] for s in flat], dtype=np.int64)
+    return extract_columnar(doc_ids, span_doc, kinds, texts, media, offs)
+
+
+def make_map_in_pandas_fn():
+    """Iterator-style fn for ``DataFrame.mapInPandas`` (Arrow-batched)."""
+
+    def fn(batches):
+        for pdf in batches:
+            yield extract_pandas_batch(pdf)
+
+    return fn
+
+
+def make_map_in_arrow_fn():
+    """Zero-copy-ish fn for ``DataFrame.mapInArrow`` — flattens the
+    list<struct> spans column columnar-side, no per-span Python dicts."""
+    import pyarrow as pa
+
+    def fn(batches):
+        for rb in batches:
+            tbl = pa.table(rb)
+            doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            spans = tbl.column("spans").combine_chunks()
+            if isinstance(spans, pa.ChunkedArray):
+                spans = spans.combine_chunks()
+            la = spans if isinstance(spans, pa.ListArray) else spans.chunk(0)
+            offs = la.offsets.to_numpy(zero_copy_only=False)
+            lens = offs[1:] - offs[:-1]
+            span_doc = np.repeat(np.arange(len(doc_ids)), lens)
+            vals = la.values
+            kinds = vals.field("kind").to_numpy(zero_copy_only=False)
+            texts = vals.field("text").to_numpy(zero_copy_only=False)
+            media = vals.field("media_ref").to_numpy(zero_copy_only=False)
+            offsets = vals.field("offset").to_numpy(zero_copy_only=False)
+            out = extract_columnar(
+                doc_ids, span_doc,
+                np.asarray(kinds, dtype=object),
+                np.asarray(texts, dtype=object),
+                np.asarray(media, dtype=object),
+                np.asarray(offsets, dtype=np.int64),
+            )
+            yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+
+    return fn

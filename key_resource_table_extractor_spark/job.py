@@ -1,0 +1,222 @@
+"""The batch extraction job: read → salt → mapInArrow extract → sink,
+with bucket-granular checkpoint/resume.
+
+Replaces the reference's FastAPI + multiprocessing.Queue + Postgres job store
+(reference scripts/api.py:48-64, task_manager.py:31-98) with:
+
+- parallelism = partitions of the doc table (salted by ``doc_id``);
+- resumability = a checkpoint table of completed buckets; a re-run skips
+  completed buckets entirely (reference analogue: skip-if-output-exists,
+  scripts/batch_pdf_table_extractor.py:32-34 → SURVEY §2 O6 left anti join);
+- per-partition lineage/metrics = every Arrow batch emits one ``kind='stats'``
+  row (JSON metrics) which the job aggregates into the checkpoint row.
+
+At cluster scale the same code runs unchanged via ``spark-submit --py-files``:
+buckets are deterministic hash ranges of ``doc_id``, each bucket an
+independent, idempotent (overwrite) write — a killed run resumes at bucket
+granularity without reprocessing completed doc ranges.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import synth
+from .extractor.pipeline import make_map_in_arrow_fn, make_map_in_pandas_fn
+from .schemas import DOCUMENT_SPANS_SCHEMA, EXTRACTED_SPANS_DDL
+
+STATS_KIND = "stats"
+ERROR_KIND = "error"
+DATA_KINDS = ("text", "media")
+
+
+# --------------------------------------------------------------------------
+# sources
+# --------------------------------------------------------------------------
+
+def read_spans(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the (doc_id, spans) table. Column pruning/pushdown apply."""
+    return spark.read.schema(DOCUMENT_SPANS_SCHEMA).parquet(path)
+
+
+def synthesize_spans(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed deterministic corpus: spark.range → mapInPandas generator.
+
+    Generation is keyed by doc_id only (synth._rng), so the corpus is
+    identical at any partitioning — scalable to arbitrary n_docs with no
+    driver-side materialization.
+    """
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [f"doc_{seed}_{int(i):07d}" for i in pdf["id"]]
+            rows = []
+            for doc_id in ids:
+                spans = [
+                    {"kind": k, "text": t, "media_ref": m, "offset": o}
+                    for (k, t, m, o) in synth.generate_doc(doc_id, seed)
+                ]
+                rows.append((doc_id, spans))
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return (
+        spark.range(0, n_docs, numPartitions=partitions)
+        .mapInPandas(gen, DOCUMENT_SPANS_SCHEMA)
+    )
+
+
+# --------------------------------------------------------------------------
+# partitioning / skew
+# --------------------------------------------------------------------------
+
+def salted_repartition(df: DataFrame, num_partitions: int, salt: int = 0) -> DataFrame:
+    """Deterministic salted hash repartition by doc_id.
+
+    Different ``salt`` values give different placements but must give
+    byte-identical results (the determinism test) — extraction is a pure
+    per-doc function. At cluster scale this defuses hot partitions when many
+    mega-docs hash together (SURVEY §4 skew note).
+    """
+    key = F.pmod(
+        F.xxhash64(F.col("doc_id"), F.lit(salt)), F.lit(num_partitions)
+    ).cast("int")
+    return df.repartition(num_partitions, key)
+
+
+# --------------------------------------------------------------------------
+# extract
+# --------------------------------------------------------------------------
+
+def extract(df: DataFrame, use_arrow: bool = True) -> DataFrame:
+    """spans table → extracted span rows (+ per-batch stats rows)."""
+    if use_arrow:
+        return df.mapInArrow(make_map_in_arrow_fn(), EXTRACTED_SPANS_DDL)
+    return df.mapInPandas(make_map_in_pandas_fn(), EXTRACTED_SPANS_DDL)
+
+
+def data_spans(out: DataFrame) -> DataFrame:
+    """Filter the extraction output to the data contract (FIXTURES.md §2)."""
+    return out.filter(F.col("kind").isin(*DATA_KINDS))
+
+
+# --------------------------------------------------------------------------
+# checkpointed, resumable run
+# --------------------------------------------------------------------------
+
+def _read_checkpoint(spark: SparkSession, checkpoint_path: str):
+    try:
+        return spark.read.parquet(checkpoint_path)
+    except Exception:
+        return None
+
+
+def completed_buckets(spark: SparkSession, checkpoint_path: str, run_id: str) -> set:
+    cp = _read_checkpoint(spark, checkpoint_path)
+    if cp is None:
+        return set()
+    rows = (
+        cp.filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    return {r["bucket"] for r in rows}
+
+
+def resume_filter(input_df: DataFrame, done_docs: DataFrame) -> DataFrame:
+    """Doc-level resume: left anti join against already-processed doc_ids
+    (SURVEY §2 O6 — the reference's skip-if-output-exists)."""
+    return input_df.join(done_docs.select("doc_id").distinct(), "doc_id", "left_anti")
+
+
+def run_extraction(
+    spark: SparkSession,
+    input_df: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    run_id: str | None = None,
+    n_buckets: int = 8,
+    partitions_per_bucket: int | None = None,
+    salt: int = 0,
+    use_arrow: bool = True,
+    fail_after_bucket: int | None = None,
+) -> dict:
+    """Run (or resume) the extraction over ``input_df``.
+
+    Buckets = pmod(xxhash64(doc_id), n_buckets); each bucket is extracted and
+    written independently (idempotent overwrite of its directory), then a
+    checkpoint row is appended. A killed run re-invoked with the same
+    ``run_id`` skips completed buckets.
+
+    ``fail_after_bucket`` injects a crash after that bucket commits — used by
+    the resume test.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    partitions_per_bucket = (
+        partitions_per_bucket or spark.sparkContext.defaultParallelism
+    )
+    done = completed_buckets(spark, checkpoint_path, run_id)
+    bucketed = input_df.withColumn(
+        "__bucket",
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"),
+    )
+    summary = {"run_id": run_id, "buckets_run": 0, "buckets_skipped": len(done)}
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        t0 = time.time()
+        bdf = bucketed.filter(F.col("__bucket") == b).drop("__bucket")
+        bdf = salted_repartition(bdf, partitions_per_bucket, salt)
+        out = extract(bdf, use_arrow=use_arrow)
+        bucket_dir = f"{output_path}/bucket={b}"
+        out.write.mode("overwrite").parquet(bucket_dir)
+        # aggregate the per-batch stats rows into the checkpoint row
+        written = spark.read.parquet(bucket_dir)
+        stats = (
+            written.filter(F.col("kind") == STATS_KIND)
+            .select(F.col("text").alias("js"))
+            .collect()
+        )
+        agg = {"n_docs": 0, "n_spans_in": 0, "n_tables": 0, "n_errors": 0,
+               "doc_id_min": None, "doc_id_max": None}
+        for r in stats:
+            d = json.loads(r["js"])
+            agg["n_docs"] += d["n_docs"]
+            agg["n_spans_in"] += d["n_spans_in"]
+            agg["n_tables"] += d["n_tables"]
+            agg["n_errors"] += d["n_errors"]
+            for k, fn in (("doc_id_min", min), ("doc_id_max", max)):
+                if d.get(k) is not None:
+                    agg[k] = d[k] if agg[k] is None else fn(agg[k], d[k])
+        n_out = written.filter(F.col("kind").isin(*DATA_KINDS)).count()
+        cp_row = [(
+            run_id, b, agg["doc_id_min"], agg["doc_id_max"], agg["n_docs"],
+            agg["n_spans_in"], n_out, agg["n_tables"], agg["n_errors"],
+            int((time.time() - t0) * 1000), "done",
+        )]
+        spark.createDataFrame(
+            cp_row,
+            "run_id string, bucket int, doc_id_min string, doc_id_max string,"
+            " n_docs long, n_spans_in long, n_spans_out long, n_tables long,"
+            " n_errors long, wall_ms long, status string",
+        ).withColumn("ts", F.current_timestamp()).write.mode("append").parquet(
+            checkpoint_path
+        )
+        summary["buckets_run"] += 1
+        if fail_after_bucket is not None and b >= fail_after_bucket:
+            raise RuntimeError(f"injected failure after bucket {b}")
+    return summary
+
+
+def read_output(spark: SparkSession, output_path: str) -> DataFrame:
+    """Final extracted spans (data contract), all buckets."""
+    return data_spans(spark.read.parquet(output_path + "/bucket=*"))

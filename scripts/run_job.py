@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""CLI entry for the extraction job (spark-submit compatible).
+
+Examples:
+    python scripts/run_job.py --n-docs 2000 --out /tmp/krt_out \
+        --checkpoint /tmp/krt_cp --run-id demo --buckets 8
+    spark-submit --py-files krt_pkg.zip scripts/run_job.py --input spans.parquet ...
+
+Reads either an existing (doc_id, spans) parquet table (--input) or a
+deterministic synthetic corpus (--n-docs). Resumable: re-run with the same
+--run-id/--checkpoint and completed buckets are skipped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# local-run convenience; on a cluster --py-files makes the package importable
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", help="parquet path of (doc_id, spans) table")
+    p.add_argument("--n-docs", type=int, default=0, help="synthesize N docs instead")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--buckets", type=int, default=8)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--salt", type=int, default=0)
+    p.add_argument("--master", default=None, help="e.g. local[8]")
+    p.add_argument("--fail-after-bucket", type=int, default=None,
+                   help="inject a crash after this bucket (resume testing)")
+    args = p.parse_args(argv)
+
+    from key_resource_table_extractor_spark import job
+    from key_resource_table_extractor_spark.session import build_session
+
+    spark = build_session(app_name="krt-run", master=args.master)
+    try:
+        if args.input:
+            inp = job.read_spans(spark, args.input)
+        elif args.n_docs:
+            inp = job.synthesize_spans(spark, args.n_docs, seed=args.seed)
+        else:
+            p.error("one of --input / --n-docs required")
+        t0 = time.time()
+        summary = job.run_extraction(
+            spark, inp, args.out, args.checkpoint, run_id=args.run_id,
+            n_buckets=args.buckets, partitions_per_bucket=args.partitions,
+            salt=args.salt, fail_after_bucket=args.fail_after_bucket,
+        )
+        wall = time.time() - t0
+        out_rows = job.read_output(spark, args.out).count()
+        summary.update({"wall_sec": round(wall, 2), "output_rows": out_rows})
+        print(json.dumps(summary))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

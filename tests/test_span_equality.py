@@ -1,0 +1,59 @@
+"""Span-sequence equality: Spark pipeline vs pure-Python oracle
+(SURVEY.md §5 item 1 — the correctness contract of BASELINE.json).
+
+The Spark job (mapInArrow and mapInPandas paths) must produce, per document,
+exactly the oracle's ordered (kind, text, media_ref) sequence.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from key_resource_table_extractor_spark import oracle, synth
+from key_resource_table_extractor_spark import job
+
+N_DOCS = 300
+
+
+def oracle_frame(n_docs):
+    rows = []
+    for doc_id, spans in synth.generate_corpus(n_docs):
+        out = oracle.extract_document(
+            [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+        )
+        for seq, kind, text, media_ref, offset in out:
+            rows.append((doc_id, seq, kind, text, media_ref, offset))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "seq", "kind", "text", "media_ref", "offset"]
+    )
+
+
+def spark_frame(spark, n_docs, use_arrow):
+    df = job.synthesize_spans(spark, n_docs, partitions=5)
+    out = job.data_spans(job.extract(df, use_arrow=use_arrow))
+    pdf = out.toPandas()
+    return pdf.sort_values(["doc_id", "seq"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("use_arrow", [True, False])
+def test_span_sequence_equality(spark, use_arrow):
+    exp = oracle_frame(N_DOCS).sort_values(["doc_id", "seq"]).reset_index(drop=True)
+    got = spark_frame(spark, N_DOCS, use_arrow)
+    assert len(got) == len(exp), (len(got), len(exp))
+    for col in ["doc_id", "seq", "kind", "text", "media_ref", "offset"]:
+        mism = (got[col].astype(str) != exp[col].astype(str))
+        assert not mism.any(), (
+            col,
+            got[mism].head(3).to_dict("records"),
+            exp[mism].head(3).to_dict("records"),
+        )
+
+
+def test_corpus_has_coverage(spark):
+    """The synthetic corpus actually exercises the interesting paths."""
+    exp = oracle_frame(N_DOCS)
+    assert (exp["kind"] == "media").sum() > 50
+    assert exp["text"].str.contains("RRID:").sum() > 500
+    docs_with_output = exp["doc_id"].nunique()
+    assert 0 < docs_with_output < N_DOCS  # some docs legitimately empty
