@@ -1,38 +1,76 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship key-resources-table extraction on a
+deterministic spans corpus derived from the sf0.001 documents table.
+``queries()``/``oracle_sql()`` expose the SURVEY.md §2 operator inventory
+(relational/window/interval/dedup/similarity/text/multimodal) checked
+against DuckDB; non-SQL-expressible ops (the extraction cascade itself,
+MinHash/SimHash/LSH with engine-specific hashes) are rows-only and carry
+semantic oracles in tests/.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from key_resource_table_extractor_spark import job  # noqa: E402
+from key_resource_table_extractor_spark import operators  # noqa: E402
+from key_resource_table_extractor_spark.schemas import (  # noqa: E402
+    DOCUMENT_SPANS_SCHEMA,
+)
+
+
+def _spans_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spans corpus keyed by the documents table's doc_ids."""
+    from key_resource_table_extractor_spark import synth
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                key = f"sfdoc_{int(did)}"
+                spans = [
+                    {"kind": k, "text": t, "media_ref": m, "offset": o}
+                    for (k, t, m, o) in synth.generate_doc(key)
+                ]
+                rows.append((key, spans))
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return docs.mapInPandas(gen, DOCUMENT_SPANS_SCHEMA)
+
+
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full extraction cascade (SURVEY §7.2 v1–v2 semantics)."""
+    spans = _spans_from_documents(spark, sf_dir)
+    spans = job.salted_repartition(
+        spans, spark.sparkContext.defaultParallelism
+    )
+    return job.data_spans(job.extract(spans))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_extract_spans(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = dict(operators.all_queries())
+    q["extract_spans"] = q_extract_spans
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # extract_spans intentionally absent: the cascade is not SQL-expressible;
+    # its oracle is the pure-Python reference implementation exercised by
+    # tests/test_span_equality.py (span-sequence equality per doc).
+    return dict(operators.all_oracle_sql())

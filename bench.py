@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+
+Queries are forced with a noop sink (full computation, no driver collect
+cost). The flagship extraction runs over a synthesized spans corpus sized to
+the documents table and reports docs/sec alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_nations",
+    "event_sessions",
+    "interval_union_islands",
+    "median_stats_by_lang",
+    "rank_topk_parts",
+    "dedupe_prefix_fingerprint",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_near_dups",
+    "token_counts_by_lang",
+    "quality_scores_by_source",
+    "doc_fingerprints",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "media_metadata",
+    "extract_spans",
+]
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    import __spark_entry__ as entry
+    from key_resource_table_extractor_spark.session import build_session
+
+    spark = build_session(
+        app_name="krt-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm up executors/codegen off the clock
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    qs = entry.queries()
+    times: dict[str, float] = {}
+    n_docs = 0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        force(df)
+        times[name] = round(time.time() - t0, 3)
+        if name == "extract_spans":
+            n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    total = round(sum(times.values()), 3)
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+        "extraction_docs": n_docs,
+        "extraction_docs_per_sec": (
+            round(n_docs / times["extract_spans"], 2)
+            if times.get("extract_spans")
+            else None
+        ),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,297 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+- exact / prefix-fingerprint dedup  (hash groupBy; DuckDB-oracled)
+- n-gram Jaccard near-dup pairs     (shingle self-join; DuckDB-oracled)
+- MinHash + LSH banding             (Spark-only; pytest oracle with planted dups)
+- SimHash hamming near-dups         (Spark-only; pytest oracle with planted dups)
+
+Scale notes (100 TB): every variant is shuffle-on-short-key:
+- exact dedup shuffles md5(fingerprint) only (map-side distinct first);
+- shingle/minhash/simhash self-joins shuffle (bucket_key, doc_id) pairs,
+  never document text; candidate verification joins back by doc_id;
+- LSH banding bounds candidate pairs per bucket; skewed buckets (stop-shingle
+  buckets) are defused by dropping buckets with > MAX_BUCKET docs, the
+  standard web-dedup guard.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from .common import load
+
+MINHASH_PERMS = 32
+MINHASH_BANDS = 8  # 4 rows per band
+SIMHASH_BITS = 64
+MAX_BUCKET = 50  # drop degenerate LSH buckets bigger than this
+
+
+def _words(col="text"):
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc (built-ins only, no UDF)."""
+    w = _words()
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    )
+    return (
+        docs.where(F.size(w) >= n)
+        .select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("sh"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# prefix-fingerprint dedup (exact dedup generalization; O5)
+# --------------------------------------------------------------------------
+
+def q_dedupe_prefix_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.substring("text", 1, 40)))
+    return (
+        docs.select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .where(F.col("n_dups") > 1)
+        .orderBy("fp")
+    )
+
+
+SQL_DEDUPE_PREFIX_FINGERPRINT = """
+SELECT md5(lower(substr(text, 1, 40))) AS fp,
+       count(*) AS n_dups, min(doc_id) AS keeper
+FROM documents
+GROUP BY fp HAVING count(*) > 1 ORDER BY fp
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (shingle self-join)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, min_common: int = 2
+) -> DataFrame:
+    sh = shingles_df(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS wl FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(wl[i:i+2], ' ') AS sh
+  FROM w, UNNEST(range(1, len(wl) - 1)) AS t(i)
+  WHERE len(wl) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+)
+SELECT doc_a, doc_b, common,
+       round(common / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding (Spark-only; hash functions engine-specific)
+# --------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """One row per doc with MINHASH_PERMS min-hash columns (single pass)."""
+    sh = shingles_df(docs, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh{i}")
+        for i in range(MINHASH_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over minhash signatures."""
+    sig = minhash_signatures(docs, n)
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    bands = F.array(
+        *[
+            F.xxhash64(
+                F.lit(bnd),
+                *[
+                    F.col(f"mh{bnd * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for bnd in range(MINHASH_BANDS)
+        ]
+    )
+    exploded = sig.select("doc_id", F.posexplode(bands).alias("band", "bval"))
+    # defuse skewed buckets before the self-join
+    bucket_sizes = exploded.groupBy("band", "bval").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    pruned = exploded.join(
+        bucket_sizes.where(F.col("bn") <= MAX_BUCKET), ["band", "bval"]
+    )
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    return (
+        a.join(b, ["band", "bval"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    # bounded output for the driver: band-agreement histogram of candidates
+    pairs = minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    return (
+        pairs.groupBy("n_bands")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("n_bands")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dups (Spark-only)
+# --------------------------------------------------------------------------
+
+def simhash_df(docs: DataFrame) -> DataFrame:
+    """64-bit simhash per doc from distinct word hashes (one pass)."""
+    tok = (
+        docs.select("doc_id", F.explode(_words()).alias("w"))
+        .distinct()
+        .withColumn("h", F.xxhash64("w"))
+    )
+    def bitmask(b):  # JVM-side shift: safe for bit 63 (Python 1<<63 overflows lit)
+        return F.shiftleft(F.lit(1).cast("bigint"), b)
+
+    bit_aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(bitmask(b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    votes = tok.groupBy("doc_id").agg(*bit_aggs)
+    sim = reduce(
+        lambda acc, b: acc.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, bitmask(b)).otherwise(F.lit(0).cast("bigint"))
+        ),
+        range(1, SIMHASH_BITS),
+        F.when(F.col("b0") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+    )
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs within hamming distance via 4×16-bit band blocking.
+
+    Pigeonhole: hamming <= 3 over 64 bits → at least one 16-bit band equal.
+    """
+    sim = simhash_df(docs)
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * i)
+            .bitwiseAND(F.lit(0xFFFF))
+            .cast("int")
+            for i in range(4)
+        ]
+    )
+    ex = sim.select(
+        "doc_id", "simhash", F.posexplode(bands).alias("band", "bval")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    return (
+        a.join(b, ["band", "bval"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    # bounded output for the driver: hamming-distance histogram of near-dups
+    pairs = simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=6)
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
+QUERIES = {
+    "dedupe_prefix_fingerprint": q_dedupe_prefix_fingerprint,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_near_dups": q_simhash_near_dups,
+}
+
+ORACLE = {
+    "dedupe_prefix_fingerprint": SQL_DEDUPE_PREFIX_FINGERPRINT,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    # minhash_lsh_pairs / simhash_near_dups: engine-specific hash functions —
+    # rows-only driver check; semantic oracle lives in tests/test_dedup.py
+}

@@ -1,0 +1,580 @@
+"""Relational operators from SURVEY.md §2 over the driver tables.
+
+Coverage mapping (reference → here):
+- A5/A8/A10 page/metric roll-ups        → pricing_summary
+- J8 equi joins + broadcast dims        → top_revenue_nations
+- J1–J3 interval joins                  → size_bucket_interval_join
+- A1/A2 trap-range interval union       → interval_union_islands
+- A2 session clustering (Δy<3 analog)   → event_sessions
+- W1 prev-line feature                  → prev_event_transitions
+- W4 annotation gap fill                → forward_fill_signup
+- W2 adjacent-row pairing               → adjacent_line_pairs
+- W6 sequential IDs                     → seq_ids_global
+- A4/A9 median & column stats           → median_stats_by_lang
+- O6 skip-processed anti join           → orders_without_returns
+- O5 dedupe                             → dedupe_prefix_fingerprint (dedup.py)
+- C1 regex extraction                   → json_props_extract
+- grouping-set style roll-up            → rollup_order_counts
+
+Every computed column is aliased identically in the Spark plan and the
+DuckDB oracle SQL; float aggregates are rounded on both sides so the
+driver's value-hash compares stably.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .common import load
+
+# --------------------------------------------------------------------------
+# pricing_summary — TPC-H Q1 shape (map-side partial agg, no join)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                              AS sum_qty,
+       round(sum(l_extendedprice), 2)                         AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+       round(avg(l_quantity), 4)                              AS avg_qty,
+       round(avg(l_discount), 4)                              AS avg_disc,
+       count(*)                                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# top_revenue_nations — 4-way equi join; small dims broadcast explicitly
+# --------------------------------------------------------------------------
+
+def q_top_revenue_nations(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+SQL_TOP_REVENUE_NATIONS = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# size_bucket_interval_join — range/interval join (J1–J3 analog)
+# --------------------------------------------------------------------------
+
+_BUCKETS = [(1, 10, "small"), (11, 25, "medium"), (26, 50, "large")]
+
+
+def q_size_bucket_interval_join(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    buckets = spark.createDataFrame(_BUCKETS, "lo int, hi int, bucket string")
+    return (
+        part.join(
+            F.broadcast(buckets),
+            (F.col("p_size") >= F.col("lo")) & (F.col("p_size") <= F.col("hi")),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_retail"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_SIZE_BUCKET_INTERVAL_JOIN = """
+SELECT bucket, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_retail
+FROM part
+JOIN (VALUES (1, 10, 'small'), (11, 25, 'medium'), (26, 50, 'large'))
+     AS b(lo, hi, bucket)
+  ON p_size >= lo AND p_size <= hi
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# event_sessions — gaps-and-islands sessionization (A1/A2/W3 analog)
+# --------------------------------------------------------------------------
+
+def q_event_sessions(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # interval comparison (tz-free, works on TIMESTAMP_NTZ)
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(w))
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_EVENT_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# prev_event_transitions — W1 lag feature
+# --------------------------------------------------------------------------
+
+def q_prev_event_transitions(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "event_type")
+    )
+
+
+SQL_PREV_EVENT_TRANSITIONS = """
+WITH lagged AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type, count(*) AS n
+FROM lagged WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY prev_type, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# forward_fill_signup — W4 gap-fill via running window
+# --------------------------------------------------------------------------
+
+def q_forward_fill_signup(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = ev.withColumn(
+        "last_signup_ts",
+        F.max(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).over(w),
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("last_signup_ts").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_after_signup"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_FORWARD_FILL_SIGNUP = """
+WITH filled AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_signup_ts
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN last_signup_ts IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_after_signup,
+       count(*) AS n_events
+FROM filled GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# adjacent_line_pairs — W2 lead pairing
+# --------------------------------------------------------------------------
+
+def q_adjacent_line_pairs(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is not unique in this corpus — extend the
+    # ordering to a total order so lead() is deterministic across engines
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    return (
+        li.withColumn("next_qty", F.lead("l_quantity").over(w))
+        .where(F.col("next_qty").isNotNull())
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("next_qty") > F.col("l_quantity"), 1).otherwise(0)
+            ).cast("bigint").alias("n_increasing"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_ADJACENT_LINE_PAIRS = """
+WITH nxt AS (
+  SELECT l_returnflag, l_quantity,
+         lead(l_quantity) OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey,
+                      l_extendedprice, l_quantity) AS next_qty
+  FROM lineitem
+)
+SELECT l_returnflag, count(*) AS n_pairs,
+       CAST(sum(CASE WHEN next_qty > l_quantity THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_increasing
+FROM nxt WHERE next_qty IS NOT NULL
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# seq_ids_global — W6 deterministic sequential ids
+# --------------------------------------------------------------------------
+
+def q_seq_ids_global(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("seq", F.row_number().over(w))
+        .where(F.col("seq") <= 100)
+        .select("seq", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy("seq")
+    )
+
+
+SQL_SEQ_IDS_GLOBAL = """
+SELECT seq, o_orderkey, price FROM (
+  SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS seq,
+         o_orderkey, round(o_totalprice, 2) AS price
+  FROM orders
+) WHERE seq <= 100 ORDER BY seq
+"""
+
+
+# --------------------------------------------------------------------------
+# median_stats_by_lang — A4/A9 per-group stats incl. exact median
+# --------------------------------------------------------------------------
+
+def q_median_stats_by_lang(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.stddev_samp("n_chars"), 4).alias("sd_chars"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_MEDIAN_STATS_BY_LANG = """
+SELECT lang, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(stddev_samp(n_chars), 4) AS sd_chars,
+       round(quantile_cont(n_chars, 0.5), 4) AS median_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# orders_without_returns — O6 left anti join (the resume primitive)
+# --------------------------------------------------------------------------
+
+def q_orders_without_returns(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    returned = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        orders.join(returned, "o_orderkey", "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_ORDERS_WITHOUT_RETURNS = """
+SELECT o_orderstatus, count(*) AS n_orders
+FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# rank_topk_parts — top-k per group window
+# --------------------------------------------------------------------------
+
+def q_rank_topk_parts(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "p_brand", "rk", "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+        )
+        .orderBy("p_brand", "rk")
+    )
+
+
+SQL_RANK_TOPK_PARTS = """
+SELECT p_brand, rk, p_partkey, price FROM (
+  SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rk
+  FROM part
+) WHERE rk <= 3 ORDER BY p_brand, rk
+"""
+
+
+# --------------------------------------------------------------------------
+# rollup_order_counts — grouping-sets roll-up
+# --------------------------------------------------------------------------
+
+def q_rollup_order_counts(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+SQL_ROLLUP_ORDER_COUNTS = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY priority, status
+"""
+
+
+# --------------------------------------------------------------------------
+# interval_union_islands — A1 trap-range interval union at SQL level
+# --------------------------------------------------------------------------
+
+def q_interval_union_islands(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_max = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    iv = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("iv_end"),
+    )
+    flagged = iv.withColumn(
+        "island_start",
+        F.when(
+            F.col("o_orderdate") > F.max("iv_end").over(prev_max), 1
+        )
+        .when(F.lag("o_orderdate").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    per_cust = flagged.groupBy("o_custkey").agg(
+        F.sum("island_start").cast("bigint").alias("n_islands")
+    )
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_islands").cast("bigint").alias("islands"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_INTERVAL_UNION_ISLANDS = """
+WITH iv AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         o_orderdate + INTERVAL 7 DAY AS iv_end
+  FROM orders
+), flagged AS (
+  SELECT o_custkey,
+         CASE WHEN lag(o_orderdate) OVER w IS NULL THEN 1
+              WHEN o_orderdate > max(iv_end) OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS island_start
+  FROM iv
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), per_cust AS (
+  SELECT o_custkey, CAST(sum(island_start) AS BIGINT) AS n_islands
+  FROM flagged GROUP BY o_custkey
+)
+SELECT c_mktsegment,
+       CAST(sum(n_islands) AS BIGINT) AS islands,
+       count(*) AS n_customers
+FROM per_cust JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# json_props_extract — C1 regex extraction from semi-structured column
+# --------------------------------------------------------------------------
+
+def q_json_props_extract(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_JSON_PROPS_EXTRACT = """
+SELECT event_type,
+       round(avg(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT)), 4)
+         AS avg_k,
+       max(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT)) AS max_k,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_nations": q_top_revenue_nations,
+    "size_bucket_interval_join": q_size_bucket_interval_join,
+    "event_sessions": q_event_sessions,
+    "prev_event_transitions": q_prev_event_transitions,
+    "forward_fill_signup": q_forward_fill_signup,
+    "adjacent_line_pairs": q_adjacent_line_pairs,
+    "seq_ids_global": q_seq_ids_global,
+    "median_stats_by_lang": q_median_stats_by_lang,
+    "orders_without_returns": q_orders_without_returns,
+    "rank_topk_parts": q_rank_topk_parts,
+    "rollup_order_counts": q_rollup_order_counts,
+    "interval_union_islands": q_interval_union_islands,
+    "json_props_extract": q_json_props_extract,
+}
+
+ORACLE = {
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_revenue_nations": SQL_TOP_REVENUE_NATIONS,
+    "size_bucket_interval_join": SQL_SIZE_BUCKET_INTERVAL_JOIN,
+    "event_sessions": SQL_EVENT_SESSIONS,
+    "prev_event_transitions": SQL_PREV_EVENT_TRANSITIONS,
+    "forward_fill_signup": SQL_FORWARD_FILL_SIGNUP,
+    "adjacent_line_pairs": SQL_ADJACENT_LINE_PAIRS,
+    "seq_ids_global": SQL_SEQ_IDS_GLOBAL,
+    "median_stats_by_lang": SQL_MEDIAN_STATS_BY_LANG,
+    "orders_without_returns": SQL_ORDERS_WITHOUT_RETURNS,
+    "rank_topk_parts": SQL_RANK_TOPK_PARTS,
+    "rollup_order_counts": SQL_ROLLUP_ORDER_COUNTS,
+    "interval_union_islands": SQL_INTERVAL_UNION_ISLANDS,
+    "json_props_extract": SQL_JSON_PROPS_EXTRACT,
+}

@@ -1,0 +1,219 @@
+"""Similarity search over the `embeddings` table (array<float> vectors).
+
+- brute-force cosine top-k        (built-ins only; DuckDB-oracled)
+- LSH-bucketed ANN                (random-hyperplane signs; Spark-only,
+                                   recall oracle in tests/test_similarity.py)
+
+Scale notes (100 TB): brute force is the correctness baseline — a cross join
+that only survives small query sets (broadcast the queries, never the
+corpus). The scale path is the LSH variant: each vector is hashed to a
+bucket key; the self-join shuffles (bucket, vec_id, vec) only within
+buckets, and queries probe their own bucket plus Hamming-1 neighbors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from .common import load
+
+# Tuned empirically on the isotropic driver embeddings: few planes + deep
+# multi-probe beats many planes (random vectors have weak nearest neighbors,
+# so fine buckets destroy recall). 4 planes, probe hamming<=2 → recall ~0.8.
+N_PLANES = 4
+PROBE_HAMMING = 2
+PLANES_SEED = 7
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+# --------------------------------------------------------------------------
+# brute-force cosine top-k (baseline; DuckDB-oracled)
+# --------------------------------------------------------------------------
+
+def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    from pyspark.sql import Window
+
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_expr(F.col("qe"), F.col("ce")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "rk", "cand_id", F.round("cos", 4).alias("cos"))
+        .orderBy("query_id", "rk")
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    return cosine_topk(load(spark, sf_dir, "embeddings"))
+
+
+SQL_COSINE_TOPK = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+           AS cos
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+), ranked AS (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, cand_id) AS rk
+  FROM scored
+)
+SELECT query_id, rk, cand_id, round(cos, 4) AS cos
+FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+"""
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path; Spark-only)
+# --------------------------------------------------------------------------
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    rng = np.random.RandomState(PLANES_SEED)
+    return rng.standard_normal((N_PLANES, dim)).astype(float)
+
+
+def lsh_bucket_expr(vec_col, planes: np.ndarray):
+    """Sign-bit bucket id from fixed random hyperplanes (built-ins only)."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        lits = F.array(*[F.lit(float(v)) for v in plane])
+        dot = _dot(vec_col, lits)
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def ann_lsh_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, dim: int = 64
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    planes = _hyperplanes(dim)
+    with_bucket = emb.withColumn(
+        "bucket", lsh_bucket_expr(F.col("embedding"), planes)
+    )
+    q = with_bucket.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qb"),
+    )
+    # multi-probe LSH: own bucket + all buckets within PROBE_HAMMING bit flips
+    import itertools
+
+    probe_cols = [F.col("qb")]
+    for h in range(1, PROBE_HAMMING + 1):
+        for comb in itertools.combinations(range(N_PLANES), h):
+            mask = 0
+            for p in comb:
+                mask |= 1 << p
+            probe_cols.append(F.col("qb").bitwiseXOR(F.lit(mask)))
+    probes = F.array(*probe_cols)
+    q = q.select("query_id", "qe", F.explode(probes).alias("bucket"))
+    cand = with_bucket.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "bucket"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand, "bucket")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "cand_id",
+            cosine_expr(F.col("qe"), F.col("ce")).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "rk", "cand_id", F.round("cos", 4).alias("cos"))
+        .orderBy("query_id", "rk")
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    return ann_lsh_topk(load(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup pairs (dedup flavor; DuckDB-oracled)
+# --------------------------------------------------------------------------
+
+def q_embedding_near_dups(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+                   F.col("label").alias("la"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+                   F.col("label").alias("lb"))
+    # label blocking keeps the pair space linear-ish (scale guard)
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a", "id_b",
+            cosine_expr(F.col("ea"), F.col("eb")).alias("cos_raw"),
+        )
+        .where(F.col("cos_raw") >= 0.5)
+        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES = {
+    "cosine_topk": q_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+}
+
+ORACLE = {
+    "cosine_topk": SQL_COSINE_TOPK,
+    "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    # ann_lsh_topk: LSH bucketing is engine-specific — rows-only check;
+    # recall-vs-brute-force oracle in tests/test_similarity.py
+}

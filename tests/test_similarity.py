@@ -1,0 +1,46 @@
+"""Recall oracle for the LSH ANN operator: against brute-force cosine top-k
+on the sf0.001 embeddings table, multi-probe LSH must reach decent recall."""
+
+from __future__ import annotations
+
+import pytest
+
+from key_resource_table_extractor_spark.operators import similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_ann_recall_vs_bruteforce(spark, emb):
+    k = 5
+    brute = similarity.cosine_topk(emb, n_queries=10, k=k).collect()
+    ann = similarity.ann_lsh_topk(emb, n_queries=10, k=k).collect()
+    gold = {}
+    for r in brute:
+        gold.setdefault(r["query_id"], set()).add(r["cand_id"])
+    got = {}
+    for r in ann:
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+    recalls = [
+        len(gold[q] & got.get(q, set())) / len(gold[q]) for q in gold
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_bruteforce_topk_self_consistency(spark, emb):
+    out = similarity.cosine_topk(emb, n_queries=3, k=4).collect()
+    assert len(out) == 12
+    for r in out:
+        assert -1.0001 <= r["cos"] <= 1.0001
+    # ranks are dense per query and cos non-increasing
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append((r["rk"], r["cos"]))
+    for q, lst in per_q.items():
+        lst.sort()
+        assert [rk for rk, _ in lst] == [1, 2, 3, 4]
+        assert all(lst[i][1] >= lst[i + 1][1] for i in range(len(lst) - 1))
