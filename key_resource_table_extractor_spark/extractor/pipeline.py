@@ -184,27 +184,30 @@ def _assign_columns(seg_s, seg_e, col_s, col_e):
 _LOWER_CONT = set(spec.CONTINUATION_LEADING_CHARS)
 
 
+_DANGLING = spec.DANGLING_SUFFIXES
+
+
 def _merge_flags(cells: np.ndarray, is_hdr: np.ndarray) -> np.ndarray:
-    """Row-merge decision vs physical predecessor (votes, strict majority)."""
+    """Row-merge decision vs physical predecessor (votes, strict majority).
+
+    Regions are tiny (tens of rows × a few columns) — plain Python string
+    ops beat pandas Series construction here by ~100×."""
     nrows, ncols = cells.shape
     flags = np.zeros(nrows, dtype=bool)
-    if nrows < 2:
-        return flags
-    lower = cells[1:]
-    upper = cells[:-1]
-    votes = np.zeros(nrows - 1, dtype=np.int64)
-    for c in range(ncols):
-        lo = pd.Series(lower[:, c])
-        up = pd.Series(upper[:, c])
-        empty = (lo == "").to_numpy()
-        first = lo.str.slice(0, 1)
-        cont = (
-            first.str.islower().fillna(False).to_numpy()
-            | first.isin(list(_LOWER_CONT)).to_numpy()
-            | up.str.endswith(spec.DANGLING_SUFFIXES).fillna(False).to_numpy()
-        )
-        votes += (empty | cont).astype(np.int64)
-    flags[1:] = (votes * 2 > ncols) & ~is_hdr[1:]
+    for k in range(1, nrows):
+        if is_hdr[k]:
+            continue
+        upper = cells[k - 1]
+        lower = cells[k]
+        votes = 0
+        for c in range(ncols):
+            lo = lower[c]
+            if lo == "" or (
+                (lo[0].islower() or lo[0] in _LOWER_CONT)
+                or upper[c].endswith(_DANGLING)
+            ):
+                votes += 1
+        flags[k] = votes * 2 > ncols
     return flags
 
 

@@ -1,0 +1,97 @@
+"""Driver-contract check (SURVEY.md §5 item 5) as pytest: a fast subset of
+queries() vs oracle_sql() on DuckDB at sf0.001. The full gate is
+scripts/check_queries.py at sf0.01."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+FAST_SUBSET = [
+    "pricing_summary",
+    "top_revenue_nations",
+    "size_bucket_interval_join",
+    "event_sessions",
+    "prev_event_transitions",
+    "forward_fill_signup",
+    "adjacent_line_pairs",
+    "median_stats_by_lang",
+    "orders_without_returns",
+    "rollup_order_counts",
+    "interval_union_islands",
+    "token_counts_by_lang",
+    "quality_scores_by_source",
+    "doc_fingerprints",
+    "dedupe_prefix_fingerprint",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "media_metadata",
+]
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    import importlib.util as iu
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "__spark_entry__.py")
+    spec = iu.spec_from_file_location("spark_entry", path)
+    m = iu.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"parquet_scan('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        if isinstance(v, float):
+            return "nan" if math.isnan(v) else round(v, 9)
+        return v
+
+    body = sorted(
+        (tuple(cell(r[i]) for i in idx) for r in rows),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+    return sorted(cols), body
+
+
+@pytest.mark.parametrize("name", FAST_SUBSET)
+def test_query_matches_duckdb(spark, entry_mod, duck, name):
+    sdf = entry_mod.queries()[name](spark, SF_DIR)
+    scols, srows = _norm([c.lower() for c in sdf.columns],
+                         [tuple(r) for r in sdf.collect()])
+    res = duck.execute(entry_mod.oracle_sql()[name])
+    dcols, drows = _norm([d[0].lower() for d in res.description],
+                         res.fetchall())
+    assert scols == dcols
+    assert len(srows) == len(drows)
+    assert srows == drows
+
+
+def test_entry_runs(spark, entry_mod):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "seq", "kind", "text", "media_ref", "offset",
+    ]
