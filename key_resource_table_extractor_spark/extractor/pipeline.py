@@ -74,7 +74,7 @@ def _segment_scan(texts: np.ndarray):
 
 
 def _line_features(li_doc: np.ndarray, texts: pd.Series):
-    """Vectorized RRID / header-keyword features (F4, header rule)."""
+    """Vectorized RRID / header-keyword / section-header features."""
     up = texts.str.upper()
     has_rrid = texts.str.contains(_RRID_PAT, regex=True, na=False).to_numpy()
     hdr = up.str.contains(spec.HEADER_TITLE, regex=False, na=False).to_numpy()
@@ -82,10 +82,17 @@ def _line_features(li_doc: np.ndarray, texts: pd.Series):
     for kw in spec.HEADER_KEYWORDS:
         kw_hits += up.str.contains(r"\b%s\b" % kw, regex=True, na=False).to_numpy()
     is_header = hdr | (kw_hits >= spec.HEADER_MIN_KEYWORDS)
-    return has_rrid, is_header
+    # section-header shape: Title-case start, <=N words, no terminal punct
+    stripped = texts.str.strip()
+    sect_ok = (
+        stripped.str.slice(0, 1).str.isupper().fillna(False)
+        & (stripped.str.split(" ").str.len() <= spec.SECTION_HEADER_MAX_WORDS)
+        & ~stripped.str.endswith(spec.SECTION_HEADER_END_PUNCT).fillna(False)
+    ).to_numpy()
+    return has_rrid, is_header, sect_ok
 
 
-def _in_table_pass(li_doc, n_segs, indent, has_rrid, is_header):
+def _in_table_pass(li_doc, n_segs, indent, has_rrid, is_header, sect_ok):
     """Base rule + continuation threading + gap fill + islands.
 
     Returns ``region_id`` per line (-1 = not in a kept region). All steps are
@@ -95,7 +102,10 @@ def _in_table_pass(li_doc, n_segs, indent, has_rrid, is_header):
     n = len(li_doc)
     blank = n_segs == 0
     base = (n_segs >= spec.MIN_SEGS_IN_TABLE) | has_rrid | is_header
-    eligible = (n_segs == 1) & (indent >= spec.CONTINUATION_MIN_INDENT)
+    # prev-threaded lines: indented continuations and section headers
+    eligible = (n_segs == 1) & (
+        (indent >= spec.CONTINUATION_MIN_INDENT) | sect_ok
+    )
 
     df = pd.DataFrame({"doc": li_doc})
     # anchors: non-blank lines whose effective state equals their base state
@@ -318,8 +328,9 @@ def extract_columnar(
     texts: np.ndarray,
     media_refs: np.ndarray,
     offsets: np.ndarray,
-) -> pd.DataFrame:
+) -> dict:
     """Extraction over flat columnar span arrays for a batch of docs.
+    Returns a dict of output columns (lists / numpy arrays).
 
     ``span_doc`` maps each span to its doc index in ``doc_ids``. Spans need
     not be pre-sorted; we sort by (doc, offset) here.
@@ -335,8 +346,10 @@ def extract_columnar(
     li_text = li_text_s.to_numpy()
 
     seg_line, seg_s, seg_e, seg_t, n_segs, indent = _segment_scan(li_text)
-    has_rrid, is_header = _line_features(li_doc, li_text_s)
-    region_id = _in_table_pass(li_doc, n_segs, indent, has_rrid, is_header)
+    has_rrid, is_header, sect_ok = _line_features(li_doc, li_text_s)
+    region_id = _in_table_pass(
+        li_doc, n_segs, indent, has_rrid, is_header, sect_ok
+    )
 
     is_media = kinds == spec.KIND_MEDIA
     md_doc = span_doc[is_media]
@@ -398,18 +411,25 @@ def extract_columnar(
         out["media_ref"].append("")
         out["offset"].append(-1)
 
-    pdf = pd.DataFrame(
-        {
-            "doc_id": pd.array(out["doc_id"], dtype="string"),
-            "kind": pd.array(out["kind"], dtype="string"),
-            "text": pd.array(out["text"], dtype="string"),
-            "media_ref": pd.array(out["media_ref"], dtype="string"),
-            "offset": np.asarray(out["offset"], dtype=np.int32),
-        }
-    )
-    # seq: 0-based per doc in emission order (docs are emitted contiguously)
-    pdf["seq"] = pdf.groupby("doc_id", sort=False).cumcount().astype(np.int32)
-    return pdf[OUTPUT_COLUMNS]
+    # seq: 0-based per doc in emission order (docs are emitted contiguously),
+    # computed from run lengths — no pandas groupby on the hot path
+    docs_arr = np.asarray(out["doc_id"], dtype=object)
+    n_out = len(docs_arr)
+    if n_out:
+        change = np.r_[True, docs_arr[1:] != docs_arr[:-1]]
+        starts = np.flatnonzero(change)
+        seq = np.arange(n_out, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, n_out])
+        )
+    else:
+        seq = np.zeros(0, dtype=np.int64)
+    out["seq"] = seq.astype(np.int32)
+    out["offset"] = np.asarray(out["offset"], dtype=np.int32)
+    return out
+
+
+def _columns_to_pandas(out: dict) -> pd.DataFrame:
+    return pd.DataFrame({c: out[c] for c in OUTPUT_COLUMNS})
 
 
 def extract_pandas_batch(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -429,7 +449,9 @@ def extract_pandas_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     texts = np.array([s["text"] for s in flat], dtype=object)
     media = np.array([s["media_ref"] for s in flat], dtype=object)
     offs = np.array([s["offset"] for s in flat], dtype=np.int64)
-    return extract_columnar(doc_ids, span_doc, kinds, texts, media, offs)
+    return _columns_to_pandas(
+        extract_columnar(doc_ids, span_doc, kinds, texts, media, offs)
+    )
 
 
 def make_map_in_pandas_fn():
@@ -470,6 +492,17 @@ def make_map_in_arrow_fn():
                 np.asarray(media, dtype=object),
                 np.asarray(offsets, dtype=np.int64),
             )
-            yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+            # build arrow arrays directly — no pandas on the output path
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["doc_id"], type=pa.string()),
+                    pa.array(out["seq"], type=pa.int32()),
+                    pa.array(out["kind"], type=pa.string()),
+                    pa.array(out["text"], type=pa.string()),
+                    pa.array(out["media_ref"], type=pa.string()),
+                    pa.array(out["offset"], type=pa.int32()),
+                ],
+                names=OUTPUT_COLUMNS,
+            )
 
     return fn

@@ -545,8 +545,145 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# supplier_balance_by_nation — remaining dims coverage (supplier ⋈ nation)
+# --------------------------------------------------------------------------
+
+def q_supplier_balance_by_nation(spark, sf_dir):
+    sup = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+            F.round(F.max("s_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_SUPPLIER_BALANCE_BY_NATION = """
+SELECT n_name, count(*) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS total_bal,
+       round(max(s_acctbal), 2) AS max_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# revenue_by_region — full dim chain region←nation←customer←orders
+# --------------------------------------------------------------------------
+
+def q_revenue_by_region(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("r_name")
+    )
+
+
+SQL_REVENUE_BY_REGION = """
+SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# monthly_order_trend — C1 date bucketing + window delta
+# --------------------------------------------------------------------------
+
+def q_monthly_order_trend(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn(
+            "prev_n", F.lag("n_orders").over(w)
+        )
+        .select(
+            F.date_format("month", "yyyy-MM").alias("ym"),
+            "n_orders",
+            "revenue",
+            (F.col("n_orders") - F.coalesce(F.col("prev_n"), F.lit(0)))
+            .cast("bigint")
+            .alias("delta"),
+        )
+        .orderBy("ym")
+    )
+
+
+SQL_MONTHLY_ORDER_TREND = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT strftime(month, '%Y-%m') AS ym, n_orders, revenue,
+       CAST(n_orders - coalesce(lag(n_orders) OVER (ORDER BY month), 0)
+            AS BIGINT) AS delta
+FROM monthly ORDER BY ym
+"""
+
+
+# --------------------------------------------------------------------------
+# event_value_quantiles — multi-quantile aggregation
+# --------------------------------------------------------------------------
+
+def q_event_value_quantiles(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENT_VALUE_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.50), 4) AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75,
+       round(quantile_cont(value, 0.95), 4) AS p95
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "supplier_balance_by_nation": q_supplier_balance_by_nation,
+    "revenue_by_region": q_revenue_by_region,
+    "monthly_order_trend": q_monthly_order_trend,
+    "event_value_quantiles": q_event_value_quantiles,
     "top_revenue_nations": q_top_revenue_nations,
     "size_bucket_interval_join": q_size_bucket_interval_join,
     "event_sessions": q_event_sessions,
@@ -564,6 +701,10 @@ QUERIES = {
 
 ORACLE = {
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "supplier_balance_by_nation": SQL_SUPPLIER_BALANCE_BY_NATION,
+    "revenue_by_region": SQL_REVENUE_BY_REGION,
+    "monthly_order_trend": SQL_MONTHLY_ORDER_TREND,
+    "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
     "top_revenue_nations": SQL_TOP_REVENUE_NATIONS,
     "size_bucket_interval_join": SQL_SIZE_BUCKET_INTERVAL_JOIN,
     "event_sessions": SQL_EVENT_SESSIONS,

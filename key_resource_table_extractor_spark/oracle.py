@@ -65,6 +65,15 @@ def split_segments(text: str) -> list[tuple[int, int, str]]:
     return segs
 
 
+def _is_section_header(seg_text: str) -> bool:
+    """Short Title-case line with no terminal punctuation (spec rule)."""
+    return (
+        seg_text[:1].isupper()
+        and len(seg_text.split(" ")) <= spec.SECTION_HEADER_MAX_WORDS
+        and not seg_text.endswith(spec.SECTION_HEADER_END_PUNCT)
+    )
+
+
 def is_header_line(text: str) -> bool:
     up = text.upper()
     if spec.HEADER_TITLE in up:
@@ -92,7 +101,12 @@ def analyze_lines(spans: list[tuple]) -> list[Line]:
             and ln.indent >= spec.CONTINUATION_MIN_INDENT
             and prev_in_table
         )
-        ln.in_table = base or cont
+        sect = (
+            ln.n_segs == 1
+            and prev_in_table
+            and _is_section_header(ln.segs[0][2])
+        )
+        ln.in_table = base or cont or sect
         if not ln.is_blank:
             prev_in_table = ln.in_table
     # annotation gap fill: short non-blank runs between two in-table lines

@@ -1,0 +1,10 @@
+"""Sources: span-table readers and fixture builders.
+
+- ``spans``      — parquet/Iceberg-shaped (doc_id, spans) reader lives in
+                   ``job.read_spans`` (kept there with the job for now)
+- ``gold_json``  — reconstructs span documents from reference-style
+                   gold-standard table JSON (FIXTURES.md §3), used by the
+                   reference-parity tests
+"""
+
+from .gold_json import gold_table_to_spans, load_gold_tables  # noqa: F401

@@ -40,11 +40,19 @@ HEADER_MIN_KEYWORDS = 2  # >=2 distinct keywords as whole words => header line
 MIN_SEGS_IN_TABLE = 2  # >=2 gap-separated segments looks tabular
 CONTINUATION_MIN_INDENT = 4  # single-segment line indented >=4 chars after an
 #                              in-table line is a continuation (W1 threading)
+# section-header absorption (the reference's LSTM keeps lines like
+# 'Deposited data' / 'Critical commercial assays' inside the table; our
+# deterministic twin: single segment, starts uppercase, short, no terminal
+# punctuation, previous line in-table — cf. the FIXME last-row heuristic at
+# reference PDFTableExtractor2.java:326-329)
+SECTION_HEADER_MAX_WORDS = 5
+SECTION_HEADER_END_PUNCT = (".", "!", "?", ":")
 
 # ---- gap fill / islands ------------------------------------------------------
 GAP_FILL_MAX = 2  # <=2 non-table, non-blank lines between two table lines are
 #                   relabeled in_table (reference fixAnnotationGaps semantics)
-MIN_REGION_LINES = 3  # a table region needs >=3 physical lines
+MIN_REGION_LINES = 2  # a table region needs >=2 physical lines (single-row
+#                       tables under a title line are real — gold corpus)
 
 # ---- column inference --------------------------------------------------------
 COLUMN_MERGE_TOL = 1  # segment intervals closer than this many chars merge

@@ -1,0 +1,37 @@
+"""Plan-quality pins: pushdown, pruning, and broadcast must survive
+refactors (the properties that matter at 100 TB, SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from key_resource_table_extractor_spark.operators import relational
+from key_resource_table_extractor_spark.plans import (
+    has_broadcast_join,
+    has_pushed_filters,
+)
+from key_resource_table_extractor_spark.plans.audit import read_schema_columns
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = relational.q_pricing_summary(spark, SF_DIR)
+    assert has_pushed_filters(df, "l_shipdate")
+    cols = read_schema_columns(df)
+    assert "l_comment" not in cols and "l_orderkey" not in cols
+    assert set(cols) <= {
+        "l_quantity", "l_extendedprice", "l_discount", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    }
+
+
+def test_top_revenue_uses_broadcast(spark):
+    df = relational.q_top_revenue_nations(spark, SF_DIR)
+    assert has_broadcast_join(df)
+
+
+def test_anti_join_prunes_columns(spark):
+    df = relational.q_orders_without_returns(spark, SF_DIR)
+    cols = read_schema_columns(df)
+    # lineitem side must read only the join key + filter column
+    assert "l_extendedprice" not in cols
+    assert "l_returnflag" in cols
