@@ -59,8 +59,17 @@ def main():
         app_name="krt-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # warm up executors/codegen off the clock
+    # warm up off the clock: codegen, parquet reader, and python workers
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()
+
+    def _noop(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, cpus * 10, numPartitions=cpus).mapInPandas(
+        _noop, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     qs = entry.queries()
     times: dict[str, float] = {}

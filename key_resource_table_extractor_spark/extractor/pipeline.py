@@ -234,8 +234,14 @@ def _extract_doc_regions(
     media_off: np.ndarray,
     media_ref: np.ndarray,
     out: dict,
+    merge_rows: bool = True,
 ) -> int:
-    """Emit one doc's regions into the output accumulator. Returns #tables."""
+    """Emit one doc's regions into the output accumulator. Returns #tables.
+
+    ``merge_rows=False`` is the reference's ``use_row_info`` switch analog
+    (pipeline A vs B, reference README:121-122, PDFTableExtractor2.java:
+    200-208): physical rows are emitted as-is, no continuation merging.
+    """
     n_tables = 0
     media_used = np.zeros(len(media_off), dtype=bool)
     kept = np.flatnonzero(region_id >= 0)
@@ -272,7 +278,10 @@ def _extract_doc_regions(
         rows = grid[nonempty]
         row_lines = lines_idx[nonempty]
         hdr = is_header[row_lines]
-        merge = _merge_flags(rows, hdr)
+        if merge_rows:
+            merge = _merge_flags(rows, hdr)
+        else:
+            merge = np.zeros(len(rows), dtype=bool)
         gid = np.cumsum(~merge) - 1
         ngroups = gid[-1] + 1
         folded = np.full((ngroups, ncols), "", dtype=object)
@@ -306,6 +315,9 @@ def _extract_doc_regions(
                     out["text"].append(folded[g, c])
                     out["media_ref"].append("")
                     out["offset"].append(off)
+                    out["table"].append(n_tables)
+                    out["row"].append(g)
+                    out["col"].append(c)
             else:
                 j = int(ev_payload[ix])
                 out["doc_id"].append(doc_id)
@@ -313,6 +325,9 @@ def _extract_doc_regions(
                 out["text"].append("")
                 out["media_ref"].append(str(m_ref[j]))
                 out["offset"].append(int(m_off[j]))
+                out["table"].append(n_tables)
+                out["row"].append(-1)
+                out["col"].append(-1)
         n_tables += 1
     return n_tables
 
@@ -328,9 +343,11 @@ def extract_columnar(
     texts: np.ndarray,
     media_refs: np.ndarray,
     offsets: np.ndarray,
+    merge_rows: bool = True,
 ) -> dict:
     """Extraction over flat columnar span arrays for a batch of docs.
-    Returns a dict of output columns (lists / numpy arrays).
+    Returns a dict of output columns (lists / numpy arrays), including the
+    internal ``table``/``row``/``col`` lineage used by the nested renderer.
 
     ``span_doc`` maps each span to its doc index in ``doc_ids``. Spans need
     not be pre-sorted; we sort by (doc, offset) here.
@@ -357,7 +374,8 @@ def extract_columnar(
     md_ref = media_refs[is_media]
 
     out: dict[str, list] = {
-        "doc_id": [], "kind": [], "text": [], "media_ref": [], "offset": []
+        "doc_id": [], "kind": [], "text": [], "media_ref": [], "offset": [],
+        "table": [], "row": [], "col": [],
     }
     n_tables = 0
     n_errors = 0
@@ -385,6 +403,7 @@ def extract_columnar(
                 md_off[m0:m1],
                 md_ref[m0:m1],
                 out,
+                merge_rows=merge_rows,
             )
         except Exception:  # per-doc isolation (reference stores err_msg)
             n_errors += 1
@@ -393,6 +412,9 @@ def extract_columnar(
             out["text"].append(traceback.format_exc()[-500:])
             out["media_ref"].append("")
             out["offset"].append(-1)
+            out["table"].append(-1)
+            out["row"].append(-1)
+            out["col"].append(-1)
 
     # per-batch lineage/metrics row (aggregated into the checkpoint table by
     # job.run_extraction — replaces the reference's Postgres job metrics)
@@ -410,6 +432,9 @@ def extract_columnar(
         out["text"].append(json.dumps(stats, sort_keys=True))
         out["media_ref"].append("")
         out["offset"].append(-1)
+        out["table"].append(-1)
+        out["row"].append(-1)
+        out["col"].append(-1)
 
     # seq: 0-based per doc in emission order (docs are emitted contiguously),
     # computed from run lengths — no pandas groupby on the hot path
@@ -432,14 +457,8 @@ def _columns_to_pandas(out: dict) -> pd.DataFrame:
     return pd.DataFrame({c: out[c] for c in OUTPUT_COLUMNS})
 
 
-def extract_pandas_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Extraction over a ``(doc_id, spans)`` pandas batch (mapInPandas)."""
+def _batch_to_columnar(pdf: pd.DataFrame):
     n = len(pdf)
-    if n == 0:
-        return pd.DataFrame(
-            {c: pd.Series(dtype="string" if c not in ("seq", "offset") else "int32")
-             for c in OUTPUT_COLUMNS}
-        )
     doc_ids = pdf["doc_id"].to_numpy()
     span_lists = pdf["spans"].tolist()
     lens = np.array([len(s) for s in span_lists], dtype=np.int64)
@@ -449,22 +468,74 @@ def extract_pandas_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     texts = np.array([s["text"] for s in flat], dtype=object)
     media = np.array([s["media_ref"] for s in flat], dtype=object)
     offs = np.array([s["offset"] for s in flat], dtype=np.int64)
+    return doc_ids, span_doc, kinds, texts, media, offs
+
+
+def extract_pandas_batch(pdf: pd.DataFrame, merge_rows: bool = True) -> pd.DataFrame:
+    """Extraction over a ``(doc_id, spans)`` pandas batch (mapInPandas)."""
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="string" if c not in ("seq", "offset") else "int32")
+             for c in OUTPUT_COLUMNS}
+        )
     return _columns_to_pandas(
-        extract_columnar(doc_ids, span_doc, kinds, texts, media, offs)
+        extract_columnar(*_batch_to_columnar(pdf), merge_rows=merge_rows)
     )
 
 
-def make_map_in_pandas_fn():
+def extract_nested_batch(pdf: pd.DataFrame, merge_rows: bool = True) -> pd.DataFrame:
+    """One row per doc: the reference's result-JSON wrapper
+    ``{"paper_id": ..., "result": {"pages": [{"page": N, "tables":
+    [{"rows": [[cell, ...], ...]}]}]}}`` (reference
+    HybridTableTextContentExtractor.java:87-107, row_merger.py:180-204;
+    FIXTURES.md §4). One extracted region = one page with one table."""
+    if len(pdf) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="string"),
+                             "result": pd.Series(dtype="string")})
+    out = extract_columnar(*_batch_to_columnar(pdf), merge_rows=merge_rows)
+    docs: dict[str, dict] = {}
+    for i in range(len(out["doc_id"])):
+        if out["kind"][i] != spec.KIND_TEXT:
+            continue
+        d = docs.setdefault(out["doc_id"][i], {})
+        tbl = d.setdefault(out["table"][i], {})
+        row = tbl.setdefault(out["row"][i], {})
+        row[out["col"][i]] = out["text"][i]
+    rows = []
+    for doc_id in sorted(docs):
+        pages = []
+        for t in sorted(docs[doc_id]):
+            tbl = docs[doc_id][t]
+            grid = [
+                [tbl[r][c] for c in sorted(tbl[r])] for r in sorted(tbl)
+            ]
+            pages.append({"page": int(t) + 1, "tables": [{"rows": grid}]})
+        result = {"paper_id": doc_id, "result": {"pages": pages}}
+        rows.append((doc_id, json.dumps(result, sort_keys=True)))
+    return pd.DataFrame(rows, columns=["doc_id", "result"])
+
+
+def make_map_in_pandas_fn(merge_rows: bool = True):
     """Iterator-style fn for ``DataFrame.mapInPandas`` (Arrow-batched)."""
 
     def fn(batches):
         for pdf in batches:
-            yield extract_pandas_batch(pdf)
+            yield extract_pandas_batch(pdf, merge_rows=merge_rows)
 
     return fn
 
 
-def make_map_in_arrow_fn():
+def make_nested_map_in_pandas_fn(merge_rows: bool = True):
+    """mapInPandas fn emitting the nested result-JSON (one row per doc)."""
+
+    def fn(batches):
+        for pdf in batches:
+            yield extract_nested_batch(pdf, merge_rows=merge_rows)
+
+    return fn
+
+
+def make_map_in_arrow_fn(merge_rows: bool = True):
     """Zero-copy-ish fn for ``DataFrame.mapInArrow`` — flattens the
     list<struct> spans column columnar-side, no per-span Python dicts."""
     import pyarrow as pa
@@ -491,6 +562,7 @@ def make_map_in_arrow_fn():
                 np.asarray(texts, dtype=object),
                 np.asarray(media, dtype=object),
                 np.asarray(offsets, dtype=np.int64),
+                merge_rows=merge_rows,
             )
             # build arrow arrays directly — no pandas on the output path
             yield pa.RecordBatch.from_arrays(

@@ -96,11 +96,30 @@ def salted_repartition(df: DataFrame, num_partitions: int, salt: int = 0) -> Dat
 # extract
 # --------------------------------------------------------------------------
 
-def extract(df: DataFrame, use_arrow: bool = True) -> DataFrame:
-    """spans table → extracted span rows (+ per-batch stats rows)."""
+def extract(
+    df: DataFrame, use_arrow: bool = True, merge_rows: bool = True
+) -> DataFrame:
+    """spans table → extracted span rows (+ per-batch stats rows).
+
+    ``merge_rows`` is the reference's use_row_info switch analog."""
     if use_arrow:
-        return df.mapInArrow(make_map_in_arrow_fn(), EXTRACTED_SPANS_DDL)
-    return df.mapInPandas(make_map_in_pandas_fn(), EXTRACTED_SPANS_DDL)
+        return df.mapInArrow(
+            make_map_in_arrow_fn(merge_rows=merge_rows), EXTRACTED_SPANS_DDL
+        )
+    return df.mapInPandas(
+        make_map_in_pandas_fn(merge_rows=merge_rows), EXTRACTED_SPANS_DDL
+    )
+
+
+def extract_nested(df: DataFrame, merge_rows: bool = True) -> DataFrame:
+    """spans table → one row per doc with the reference's result-JSON
+    wrapper (S7 sink parity; FIXTURES.md §4)."""
+    from .extractor.pipeline import make_nested_map_in_pandas_fn
+
+    return df.mapInPandas(
+        make_nested_map_in_pandas_fn(merge_rows=merge_rows),
+        "doc_id string, result string",
+    )
 
 
 def data_spans(out: DataFrame) -> DataFrame:

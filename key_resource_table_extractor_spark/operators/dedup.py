@@ -148,13 +148,26 @@ ORDER BY doc_a, doc_b
 # --------------------------------------------------------------------------
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
-    """One row per doc with MINHASH_PERMS min-hash columns (single pass)."""
-    sh = shingles_df(docs, n)
+    """One row per doc with MINHASH_PERMS min-hash columns (single pass).
+
+    Shingles are hashed to int64 map-side BEFORE the distinct/groupBy —
+    at 100 TB the shuffle carries (doc_id, hash) pairs, never shingle text.
+    """
+    w = _words()
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i + 1, n))),
+    )
+    hashed = (
+        docs.where(F.size(w) >= n)
+        .select(F.col("doc_id"), F.explode(sh).alias("h"))
+        .distinct()
+    )
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
         for i in range(MINHASH_PERMS)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -210,11 +223,11 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 def simhash_df(docs: DataFrame) -> DataFrame:
     """64-bit simhash per doc from distinct word hashes (one pass)."""
-    tok = (
-        docs.select("doc_id", F.explode(_words()).alias("w"))
-        .distinct()
-        .withColumn("h", F.xxhash64("w"))
-    )
+    # hash tokens map-side before distinct: the shuffle carries int64s only
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.transform(_words(), lambda w: F.xxhash64(w))).alias("h"),
+    ).distinct()
     def bitmask(b):  # JVM-side shift: safe for bit 63 (Python 1<<63 overflows lit)
         return F.shiftleft(F.lit(1).cast("bigint"), b)
 

@@ -198,8 +198,11 @@ def merge_votes(upper: list[str], lower: list[str]) -> bool:
     return votes * 2 > ncols
 
 
-def extract_document(spans: list[tuple]) -> list[tuple]:
-    """Full cascade for one doc. spans: (kind, text, media_ref, offset)."""
+def extract_document(spans: list[tuple], merge_rows: bool = True) -> list[tuple]:
+    """Full cascade for one doc. spans: (kind, text, media_ref, offset).
+
+    ``merge_rows=False`` disables the continuation-merge phase (the
+    reference's use_row_info pipeline-A semantics)."""
     spans = sorted(spans, key=lambda s: s[3])
     lines = analyze_lines(spans)
     regions = find_regions(lines)
@@ -226,7 +229,8 @@ def extract_document(spans: list[tuple]) -> list[tuple]:
         groups: list[list[tuple[int, list[str]]]] = []
         for k, (off, cells, is_hdr) in enumerate(rows):
             if (
-                k > 0
+                merge_rows
+                and k > 0
                 and not is_hdr
                 and merge_votes(rows[k - 1][1], cells)
             ):

@@ -1,0 +1,79 @@
+"""use_row_info-analog flag (merge on/off) and nested result-JSON parity
+(reference S7 output shape, FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+from key_resource_table_extractor_spark import oracle
+from key_resource_table_extractor_spark.extractor.pipeline import (
+    extract_nested_batch,
+    extract_pandas_batch,
+)
+
+DOC = [
+    ("text", "Key Resources Table", "", 0),
+    ("text", "REAGENT or RESOURCE     SOURCE      IDENTIFIER", "", 1),
+    ("text", "Anti-Foo antibody       Abcam       RRID:AB_123456", "", 2),
+    ("text", "                        continued text", "", 3),
+    ("text", "Bar protein             Sigma       RRID:SCR_004422", "", 4),
+]
+
+
+def pdf_of(doc, doc_id="d0"):
+    return pd.DataFrame(
+        {
+            "doc_id": [doc_id],
+            "spans": [
+                [
+                    {"kind": k, "text": t, "media_ref": m, "offset": o}
+                    for (k, t, m, o) in doc
+                ]
+            ],
+        }
+    )
+
+
+def flat(out, doc_id="d0"):
+    out = out[(out.doc_id == doc_id) & out.kind.isin(["text", "media"])]
+    return list(zip(out["kind"], out["text"], out["offset"].astype(int)))
+
+
+def test_merge_flag_changes_output_and_matches_oracle():
+    merged = extract_pandas_batch(pdf_of(DOC), merge_rows=True)
+    raw = extract_pandas_batch(pdf_of(DOC), merge_rows=False)
+    m_texts = [t for _k, t, _o in flat(merged)]
+    r_texts = [t for _k, t, _o in flat(raw)]
+    assert "Abcam continued text" in m_texts  # merged fold
+    assert "continued text" in r_texts  # raw physical row survives
+    assert len(r_texts) > len(m_texts)
+    # both modes equal the oracle in the same mode
+    for mode, out in ((True, merged), (False, raw)):
+        exp = [
+            (k, t, o)
+            for (_s, k, t, _m, o) in oracle.extract_document(DOC, merge_rows=mode)
+        ]
+        assert flat(out) == exp
+
+
+def test_nested_result_json_shape():
+    out = extract_nested_batch(pdf_of(DOC))
+    assert list(out.columns) == ["doc_id", "result"]
+    res = json.loads(out.iloc[0]["result"])
+    assert res["paper_id"] == "d0"
+    pages = res["result"]["pages"]
+    assert pages[0]["page"] == 1
+    rows = pages[0]["tables"][0]["rows"]
+    assert ["Anti-Foo antibody", "Abcam continued text", "RRID:AB_123456"] in rows
+    # grid is dense: every row has the same width
+    assert len({len(r) for r in rows}) == 1
+    # nested cells == flat text spans, in traversal order
+    flat_out = extract_pandas_batch(pdf_of(DOC))
+    flat_cells = [
+        t for t, k in zip(flat_out["text"], flat_out["kind"]) if k == "text"
+    ]
+    nested_cells = [c for page in pages for tb in page["tables"]
+                    for r in tb["rows"] for c in r]
+    assert nested_cells == flat_cells
