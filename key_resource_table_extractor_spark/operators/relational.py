@@ -678,8 +678,106 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# deterministic_sample — O3/O4 seeded sampling, engine-portable via md5
+# --------------------------------------------------------------------------
+
+def q_deterministic_sample(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    # hash-based bernoulli sample (~1/8): portable across engines, unlike
+    # rand(seed) — the reference's random.sample(seed=42) analog
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1"
+    )
+    return (
+        docs.where(keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_DETERMINISTIC_SAMPLE = """
+SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity_match_join — J7 bag-of-words coverage theta join with greedy
+# best-match (row_number) — reference GROBID↔GS matcher analog
+# --------------------------------------------------------------------------
+
+def q_similarity_match_join(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("w"),
+    )
+    left = words.where(F.col("source") == "src0").select(
+        F.col("doc_id").alias("id_a"), "w"
+    )
+    right = words.where(F.col("source") == "src1").select(
+        F.col("doc_id").alias("id_b"), "w"
+    )
+    sizes_a = left.groupBy("id_a").agg(F.count(F.lit(1)).alias("na"))
+    shared = (
+        left.join(right, "w")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    from pyspark.sql import Window
+
+    cov = shared.join(sizes_a, "id_a").withColumn(
+        "coverage", F.round(F.col("shared") / F.col("na"), 4)
+    ).where(F.col("coverage") > 0.4)
+    w = Window.partitionBy("id_a").orderBy(
+        F.desc("coverage"), F.asc("id_b")
+    )
+    return (
+        cov.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("id_a", "id_b", "coverage")
+        .orderBy("id_a")
+    )
+
+
+SQL_SIMILARITY_MATCH_JOIN = """
+WITH words AS (
+  SELECT doc_id, source, unnest(list_distinct(string_split_regex(trim(text),
+         '\\s+'))) AS w
+  FROM documents
+), l AS (SELECT doc_id AS id_a, w FROM words WHERE source = 'src0'),
+   r AS (SELECT doc_id AS id_b, w FROM words WHERE source = 'src1'),
+   sizes AS (SELECT id_a, count(*) AS na FROM l GROUP BY id_a),
+   shared AS (
+     SELECT id_a, id_b, count(*) AS shared
+     FROM l JOIN r USING (w) GROUP BY id_a, id_b
+   ),
+   cov AS (
+     SELECT id_a, id_b, round(shared / na, 4) AS coverage
+     FROM shared JOIN sizes USING (id_a)
+     WHERE shared / na > 0.4
+   )
+SELECT id_a, id_b, coverage FROM (
+  SELECT id_a, id_b, coverage,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY coverage DESC, id_b) AS rk
+  FROM cov
+) WHERE rk = 1 ORDER BY id_a
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "deterministic_sample": q_deterministic_sample,
+    "similarity_match_join": q_similarity_match_join,
     "supplier_balance_by_nation": q_supplier_balance_by_nation,
     "revenue_by_region": q_revenue_by_region,
     "monthly_order_trend": q_monthly_order_trend,
@@ -701,6 +799,8 @@ QUERIES = {
 
 ORACLE = {
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
+    "similarity_match_join": SQL_SIMILARITY_MATCH_JOIN,
     "supplier_balance_by_nation": SQL_SUPPLIER_BALANCE_BY_NATION,
     "revenue_by_region": SQL_REVENUE_BY_REGION,
     "monthly_order_trend": SQL_MONTHLY_ORDER_TREND,
