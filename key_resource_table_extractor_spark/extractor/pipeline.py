@@ -78,15 +78,26 @@ def _line_features(li_doc: np.ndarray, texts: pd.Series):
     up = texts.str.upper()
     has_rrid = texts.str.contains(_RRID_PAT, regex=True, na=False).to_numpy()
     hdr = up.str.contains(spec.HEADER_TITLE, regex=False, na=False).to_numpy()
-    kw_hits = np.zeros(len(texts), dtype=np.int32)
-    for kw in spec.HEADER_KEYWORDS:
-        kw_hits += up.str.contains(r"\b%s\b" % kw, regex=True, na=False).to_numpy()
-    is_header = hdr | (kw_hits >= spec.HEADER_MIN_KEYWORDS)
+    # cheap prefilter: one combined regex pass; the per-keyword passes run
+    # only on the (rare) candidate lines
+    any_kw = up.str.contains(
+        "|".join(spec.HEADER_KEYWORDS), regex=True, na=False
+    ).to_numpy()
+    is_header = hdr.copy()
+    cand = np.flatnonzero(any_kw & ~hdr)
+    if len(cand):
+        sub = up.iloc[cand]
+        kw_hits = np.zeros(len(cand), dtype=np.int32)
+        for kw in spec.HEADER_KEYWORDS:
+            kw_hits += sub.str.contains(
+                r"\b%s\b" % kw, regex=True, na=False
+            ).to_numpy()
+        is_header[cand] = kw_hits >= spec.HEADER_MIN_KEYWORDS
     # section-header shape: Title-case start, <=N words, no terminal punct
     stripped = texts.str.strip()
     sect_ok = (
         stripped.str.slice(0, 1).str.isupper().fillna(False)
-        & (stripped.str.split(" ").str.len() <= spec.SECTION_HEADER_MAX_WORDS)
+        & (stripped.str.count(" ") < spec.SECTION_HEADER_MAX_WORDS)
         & ~stripped.str.endswith(spec.SECTION_HEADER_END_PUNCT).fillna(False)
     ).to_numpy()
     return has_rrid, is_header, sect_ok
@@ -166,10 +177,12 @@ def _column_union(starts: np.ndarray, ends: np.ndarray):
     order = np.argsort(starts, kind="stable")
     s, e = starts[order], ends[order]
     cmax = np.maximum.accumulate(e)
-    brk = np.r_[True, s[1:] > cmax[:-1] + spec.COLUMN_MERGE_TOL]
+    brk = np.empty(len(s), dtype=bool)
+    brk[0] = True
+    brk[1:] = s[1:] > cmax[:-1] + spec.COLUMN_MERGE_TOL
     grp = np.cumsum(brk) - 1
     # group starts: first s per group (s sorted asc), ends: max e per group
-    first = np.r_[True, grp[1:] != grp[:-1]]
+    first = brk
     col_s = s[first]
     col_e = np.maximum.reduceat(e, np.flatnonzero(first))
     return col_s, col_e
@@ -248,9 +261,13 @@ def _extract_doc_regions(
     if len(kept) == 0:
         return 0
     # contiguous runs of equal region ids
-    run_break = np.r_[True, region_id[kept][1:] != region_id[kept][:-1]]
+    rk = region_id[kept]
+    run_break = np.empty(len(kept), dtype=bool)
+    run_break[0] = True
+    run_break[1:] = rk[1:] != rk[:-1]
     run_starts = kept[run_break]
-    run_ends = np.r_[kept[np.flatnonzero(run_break)[1:] - 1], kept[-1]]
+    rb_idx = np.flatnonzero(run_break)
+    run_ends = np.concatenate([kept[rb_idx[1:] - 1], kept[-1:]])
     for lo_i, hi_i in zip(run_starts, run_ends):
         lines_idx = np.arange(lo_i, hi_i + 1)
         smask = (seg_line >= lo_i) & (seg_line <= hi_i)
@@ -272,7 +289,7 @@ def _extract_doc_regions(
         for k in range(len(sl)):
             r, c = local[k], col_of[k]
             grid[r, c] = st[k] if grid[r, c] == "" else grid[r, c] + " " + st[k]
-        nonempty = np.array([(row != "").any() for row in grid])
+        nonempty = (grid != "").any(axis=1)
         if not nonempty.any():
             continue
         rows = grid[nonempty]
@@ -291,7 +308,9 @@ def _extract_doc_regions(
                 v = rows[k, c]
                 if v != "":
                     folded[g, c] = v if folded[g, c] == "" else folded[g, c] + " " + v
-        first_of_group = np.r_[True, gid[1:] != gid[:-1]]
+        first_of_group = np.empty(len(gid), dtype=bool)
+        first_of_group[0] = True
+        first_of_group[1:] = gid[1:] != gid[:-1]
         grp_off = line_off[row_lines[first_of_group]]
         # boundary media (emitted once, offset order)
         lo_off = int(line_off[lo_i]) - spec.MEDIA_BOUNDARY_SLACK
@@ -301,9 +320,11 @@ def _extract_doc_regions(
         m_off = media_off[mm]
         m_ref = media_ref[mm]
         # interleave: media sorts before a row at same offset (offsets unique)
-        ev_off = np.r_[m_off, grp_off]
-        ev_is_row = np.r_[np.zeros(len(m_off), bool), np.ones(ngroups, bool)]
-        ev_payload = np.r_[np.arange(len(m_off)), np.arange(ngroups)]
+        nm = len(m_off)
+        ev_off = np.concatenate([m_off, grp_off])
+        ev_is_row = np.zeros(nm + ngroups, dtype=bool)
+        ev_is_row[nm:] = True
+        ev_payload = np.concatenate([np.arange(nm), np.arange(ngroups)])
         order = np.lexsort((ev_is_row, ev_off))
         for ix in order:
             if ev_is_row[ix]:
@@ -419,6 +440,13 @@ def extract_columnar(
     # per-batch lineage/metrics row (aggregated into the checkpoint table by
     # job.run_extraction — replaces the reference's Postgres job metrics)
     if len(doc_ids):
+        try:  # physical-partition lineage when running inside a Spark task
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            partition_id = tc.partitionId() if tc is not None else -1
+        except Exception:
+            partition_id = -1
         stats = {
             "n_docs": int(len(doc_ids)),
             "n_spans_in": int(len(span_doc)),
@@ -426,6 +454,7 @@ def extract_columnar(
             "n_errors": int(n_errors),
             "doc_id_min": str(min(doc_ids)),
             "doc_id_max": str(max(doc_ids)),
+            "partition_id": int(partition_id),
         }
         out["doc_id"].append("__stats__")
         out["kind"].append("stats")
