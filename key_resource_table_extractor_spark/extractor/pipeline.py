@@ -344,7 +344,9 @@ def _extract_doc_regions(
                 out["doc_id"].append(doc_id)
                 out["kind"].append(spec.KIND_MEDIA)
                 out["text"].append("")
-                out["media_ref"].append(str(m_ref[j]))
+                out["media_ref"].append(
+                    "" if m_ref[j] is None else str(m_ref[j])
+                )
                 out["offset"].append(int(m_off[j]))
                 out["table"].append(n_tables)
                 out["row"].append(-1)
@@ -489,14 +491,20 @@ def _columns_to_pandas(out: dict) -> pd.DataFrame:
 def _batch_to_columnar(pdf: pd.DataFrame):
     n = len(pdf)
     doc_ids = pdf["doc_id"].to_numpy()
-    span_lists = pdf["spans"].tolist()
+    span_lists = [
+        s if isinstance(s, (list, np.ndarray)) else []
+        for s in pdf["spans"].tolist()
+    ]
     lens = np.array([len(s) for s in span_lists], dtype=np.int64)
     span_doc = np.repeat(np.arange(n), lens)
     flat = [sp for lst in span_lists for sp in lst]
     kinds = np.array([s["kind"] for s in flat], dtype=object)
     texts = np.array([s["text"] for s in flat], dtype=object)
     media = np.array([s["media_ref"] for s in flat], dtype=object)
-    offs = np.array([s["offset"] for s in flat], dtype=np.int64)
+    offs = np.array(
+        [s["offset"] if s["offset"] is not None else 0 for s in flat],
+        dtype=np.int64,
+    )
     return doc_ids, span_doc, kinds, texts, media, offs
 
 
