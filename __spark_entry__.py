@@ -63,9 +63,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_extract_spans(spark, "/root/testdata/sf0.001")
 
 
+def q_extract_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested result-JSON variant of the flagship (reference S7 shape)."""
+    spans = _spans_from_documents(spark, sf_dir)
+    return job.extract_nested(spans)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = dict(operators.all_queries())
     q["extract_spans"] = q_extract_spans
+    q["extract_nested"] = q_extract_nested
     return q
 
 
