@@ -92,6 +92,49 @@ def salted_repartition(df: DataFrame, num_partitions: int, salt: int = 0) -> Dat
     return df.repartition(num_partitions, key)
 
 
+def size_balanced_repartition(
+    df: DataFrame,
+    num_partitions: int,
+    heavy_quantile: float = 0.99,
+    salt: int = 0,
+) -> DataFrame:
+    """Skew-aware repartition: round-robin the heavy tail, hash the rest.
+
+    Docs above the ``heavy_quantile`` span-count are placed round-robin by
+    descending size (so the k heaviest docs land on k distinct partitions);
+    everything else is salted-hash distributed. The global window runs over
+    the heavy subset only (~1% of docs); at extreme scale cap that subset
+    further or pre-aggregate sizes per bucket. Output is byte-identical to
+    any other partitioning (extraction is per-doc pure) — pinned by the
+    determinism test.
+    """
+    from pyspark.sql import Window
+
+    sized = df.withColumn("__sz", F.size("spans"))
+    thr_row = sized.agg(
+        F.expr(f"approx_percentile(__sz, {heavy_quantile})").alias("t")
+    ).collect()[0]
+    thr = int(thr_row["t"] or 0)
+    heavy = sized.where(F.col("__sz") >= F.lit(thr))
+    light = sized.where(F.col("__sz") < F.lit(thr))
+    w = Window.orderBy(F.desc("__sz"), F.asc("doc_id"))
+    heavy_p = heavy.withColumn(
+        "__p",
+        F.pmod(F.row_number().over(w) - 1, F.lit(num_partitions)).cast("int"),
+    )
+    light_p = light.withColumn(
+        "__p",
+        F.pmod(
+            F.xxhash64(F.col("doc_id"), F.lit(salt)), F.lit(num_partitions)
+        ).cast("int"),
+    )
+    return (
+        heavy_p.unionByName(light_p)
+        .repartition(num_partitions, F.col("__p"))
+        .drop("__sz", "__p")
+    )
+
+
 # --------------------------------------------------------------------------
 # extract
 # --------------------------------------------------------------------------

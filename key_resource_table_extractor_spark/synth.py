@@ -84,13 +84,20 @@ def _plain_table(r: Random, n_rows: int) -> list[str]:
     return out
 
 
-def generate_doc(doc_id: str, seed: int = 42) -> list[tuple]:
-    """Spans for one doc: list of (kind, text, media_ref, offset)."""
+def generate_doc_with_gold(doc_id: str, seed: int = 42):
+    """Spans for one doc plus detection ground truth.
+
+    Returns ``(spans, gold_offsets)`` where ``gold_offsets`` is the set of
+    text-span offsets belonging to key-resource table blocks (title +
+    header + data/continuation rows) — the per-line ground truth for the
+    detection P/R evaluation (reference perf_eval.py parity).
+    """
     r = _rng(doc_id, seed)
     mega = zlib.crc32(doc_id.encode()) % MEGA_DOC_EVERY == 0
     blocks = MEGA_FACTOR if mega else r.randint(1, 3)
 
     lines: list[tuple] = []  # (kind, text, media_ref)
+    gold: set[int] = set()
     media_k = 0
 
     def media() -> tuple:
@@ -107,6 +114,7 @@ def generate_doc(doc_id: str, seed: int = 42) -> list[tuple]:
         if roll < 0.55:  # key-resource table
             if r.random() < 0.5:
                 lines.append(media())  # boundary media before table
+            t0 = len(lines)
             lines.append((spec.KIND_TEXT, "Key Resources Table", ""))
             lines.append(
                 (
@@ -119,6 +127,7 @@ def generate_doc(doc_id: str, seed: int = 42) -> list[tuple]:
             )
             for row in _krt_rows(r, r.randint(2, 7)):
                 lines.append((spec.KIND_TEXT, row, ""))
+            gold.update(range(t0, len(lines)))
             if r.random() < 0.5:
                 lines.append(media())  # boundary media after table
         elif roll < 0.75:  # non-relevant aligned table (dropped)
@@ -127,10 +136,16 @@ def generate_doc(doc_id: str, seed: int = 42) -> list[tuple]:
         if r.random() < 0.1:
             lines.append((spec.KIND_TEXT, "", ""))  # blank line edge case
 
-    return [
+    spans = [
         (kind, text, media_ref, off)
         for off, (kind, text, media_ref) in enumerate(lines)
     ]
+    return spans, gold
+
+
+def generate_doc(doc_id: str, seed: int = 42) -> list[tuple]:
+    """Spans for one doc: list of (kind, text, media_ref, offset)."""
+    return generate_doc_with_gold(doc_id, seed)[0]
 
 
 def generate_corpus(n_docs: int, seed: int = 42) -> list[tuple]:
