@@ -154,6 +154,23 @@ def extract(
     )
 
 
+def extract_grouped(df: DataFrame, merge_rows: bool = True) -> DataFrame:
+    """Alternative execution shape: ``groupBy(doc_id).applyInPandas``.
+
+    Semantically identical to ``extract`` (equality-tested); useful when
+    the input has been exploded to finer granularity upstream and Spark
+    must guarantee doc-grouping itself. Costs a shuffle on doc_id — the
+    one-row-per-doc ``mapInArrow`` path is the default for that reason.
+    """
+    from .extractor.pipeline import extract_pandas_batch
+
+    def fn(pdf):
+        out = extract_pandas_batch(pdf, merge_rows=merge_rows)
+        return out[out["kind"].isin(DATA_KINDS)]
+
+    return df.groupBy("doc_id").applyInPandas(fn, EXTRACTED_SPANS_DDL)
+
+
 def extract_nested(df: DataFrame, merge_rows: bool = True) -> DataFrame:
     """spans table → one row per doc with the reference's result-JSON
     wrapper (S7 sink parity; FIXTURES.md §4)."""

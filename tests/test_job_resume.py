@@ -92,3 +92,10 @@ def test_mega_doc_skew_present_and_handled(spark):
     assert sizes["mx"] > 10 * sizes["med"]
     out = job.data_spans(job.extract(job.salted_repartition(inp, 4, salt=1)))
     assert out.count() > 0
+
+
+def test_grouped_extraction_equals_map_path(spark):
+    inp = job.synthesize_spans(spark, 120, partitions=3)
+    a = sorted_pdf(job.extract_grouped(inp))
+    b = sorted_pdf(job.data_spans(job.extract(inp)))
+    assert a.equals(b)
