@@ -679,6 +679,23 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 # --------------------------------------------------------------------------
+# sketch_distinct_users — HLL++ approx distinct (sketch op; rows-only:
+# sketch estimates are engine-specific; tolerance oracle in tests)
+# --------------------------------------------------------------------------
+
+def q_sketch_distinct_users(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # deterministic_sample — O3/O4 seeded sampling, engine-portable via md5
 # --------------------------------------------------------------------------
 
@@ -776,6 +793,7 @@ SELECT id_a, id_b, coverage FROM (
 
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "sketch_distinct_users": q_sketch_distinct_users,
     "deterministic_sample": q_deterministic_sample,
     "similarity_match_join": q_similarity_match_join,
     "supplier_balance_by_nation": q_supplier_balance_by_nation,

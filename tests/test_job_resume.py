@@ -99,3 +99,20 @@ def test_grouped_extraction_equals_map_path(spark):
     a = sorted_pdf(job.extract_grouped(inp))
     b = sorted_pdf(job.data_spans(job.extract(inp)))
     assert a.equals(b)
+
+
+def test_read_output_prunes_bucket_partitions(spark, tmp_path):
+    from key_resource_table_extractor_spark.plans.audit import explain_str
+
+    inp = job.synthesize_spans(spark, 60, partitions=2)
+    out_dir = str(tmp_path / "po")
+    job.run_extraction(
+        spark, inp, out_dir, str(tmp_path / "pcp"), run_id="pp",
+        n_buckets=3, partitions_per_bucket=2,
+    )
+    pruned = job.read_output(spark, out_dir, buckets=[1])
+    plan = explain_str(pruned)
+    assert "PartitionFilters" in plan and "bucket" in plan
+    all_rows = job.read_output(spark, out_dir).count()
+    one = pruned.count()
+    assert 0 < one < all_rows
