@@ -1,1 +1,1 @@
-from .grits_like import grits_content  # noqa: F401
+from .grits_like import grits_both, grits_content, grits_topology  # noqa: F401

@@ -1,22 +1,50 @@
 """GriTS-style table-similarity scoring (evaluation harness parity).
 
 The reference scores predictions against gold tables with GriTS —
-a factored 2D most-similar-substructure alignment with LCS cell similarity
-(reference scripts/grits.py:166-213,466-497, harness grits_perf_eval.py:
-38-67). This is a simplified but order-preserving variant: rows are aligned
-with dynamic programming maximizing summed cell similarity (cells compared
-by difflib ratio, the reference's 2·|lcs|/(|a|+|b|) — grits.py:216-221),
-then precision/recall/F1 are computed over cell mass. Exact on identity,
-monotone under perturbation — sufficient as a regression metric for the
-extraction pipeline; not a reimplementation of the full 2D-MSS.
+a factored 2D most-similar-substructure alignment over a matrix of cell
+similarities, with one metric per cell property:
+
+- GriTS_Content: cell similarity = LCS ratio of cell text
+  (reference scripts/grits.py:216-221, 2*|lcs|/(|a|+|b|)).
+- GriTS_Topology: cell similarity = IoU of the two cells' bounding
+  rectangles in grid coordinates (reference scripts/grits.py:224-235,
+  372-405,466-497) — structure-sensitive, content-blind.
+
+This is a simplified but order-preserving variant of the 2D-MSS: rows are
+aligned with dynamic programming maximizing summed cell similarity, cells
+within aligned rows are compared positionally. Exact on identity, monotone
+under perturbation — sufficient as a regression metric for the extraction
+pipeline; not a reimplementation of the full 2D-MSS (which also permutes
+columns via the factored transpose pass).
+
+Tables are lists of rows; a cell is either a plain string (colspan 1) or a
+``{"content": str, "colspan": int}`` dict (the gold-JSON cell shape,
+reference scripts/html_table_converter.py:60-72).
 """
 
 from __future__ import annotations
 
 from difflib import SequenceMatcher
 
+_PAD = object()  # alignment padding — scores 0 against everything
 
-def _cell_sim(a: str, b: str) -> float:
+
+def _cell_content(cell) -> str:
+    if isinstance(cell, dict):
+        return cell.get("content", "") or ""
+    return cell or ""
+
+
+def _cell_colspan(cell) -> int:
+    if isinstance(cell, dict):
+        return max(int(cell.get("colspan", 1) or 1), 1)
+    return 1
+
+
+def _cell_sim(a, b) -> float:
+    if a is _PAD or b is _PAD:
+        return 0.0
+    a, b = _cell_content(a), _cell_content(b)
     if a == b:
         return 1.0
     if not a or not b:
@@ -24,25 +52,49 @@ def _cell_sim(a: str, b: str) -> float:
     return SequenceMatcher(None, a, b).ratio()
 
 
-def _row_sim(ra: list[str], rb: list[str]) -> float:
-    """Aligned-column similarity (pad the shorter row)."""
-    n = max(len(ra), len(rb))
-    if n == 0:
+def _iou_1d(a0: int, a1: int, b0: int, b1: int) -> float:
+    inter = min(a1, b1) - max(a0, b0)
+    if inter <= 0:
         return 0.0
+    union = max(a1, b1) - min(a0, b0)
+    return inter / union
+
+
+def _col_extents(row) -> list[tuple[int, int]]:
+    """Grid-coordinate column interval [c0, c1) of each cell in a row."""
+    out = []
+    c = 0
+    for cell in row:
+        k = _cell_colspan(cell)
+        out.append((c, c + k))
+        c += k
+    return out
+
+
+def _topo_sim(cell_a, ext_a, cell_b, ext_b) -> float:
+    """IoU of the two cells' column extents (rowspans are not modeled in
+    the span-space rebuild: every cell is one logical row tall)."""
+    if cell_a is _PAD or cell_b is _PAD:
+        return 0.0
+    return _iou_1d(ext_a[0], ext_a[1], ext_b[0], ext_b[1])
+
+
+def _row_sim(ra: list, rb: list, topology: bool = False) -> float:
+    """Aligned-column similarity. Positions beyond a row's own cells are
+    alignment padding and score 0 (they carry no mass on either side)."""
+    na, nb = len(ra), len(rb)
+    if topology:
+        ea, eb = _col_extents(ra), _col_extents(rb)
     total = 0.0
-    for c in range(n):
-        a = ra[c] if c < len(ra) else ""
-        b = rb[c] if c < len(rb) else ""
-        total += _cell_sim(a, b)
+    for c in range(min(na, nb)):
+        if topology:
+            total += _topo_sim(ra[c], ea[c], rb[c], eb[c])
+        else:
+            total += _cell_sim(ra[c], rb[c])
     return total
 
 
-def grits_content(pred_rows: list[list[str]], gold_rows: list[list[str]]):
-    """Returns (precision, recall, f1) over cell content mass.
-
-    Row alignment = DP over row order (insert/delete/match), match gain =
-    summed per-column cell similarity.
-    """
+def _grits(pred_rows: list[list], gold_rows: list[list], topology: bool):
     np_, ng = len(pred_rows), len(gold_rows)
     if np_ == 0 or ng == 0:
         return (0.0, 0.0, 0.0)
@@ -50,16 +102,40 @@ def grits_content(pred_rows: list[list[str]], gold_rows: list[list[str]]):
     dp = [[0.0] * (ng + 1) for _ in range(np_ + 1)]
     for i in range(1, np_ + 1):
         for j in range(1, ng + 1):
-            match = dp[i - 1][j - 1] + _row_sim(pred_rows[i - 1], gold_rows[j - 1])
+            match = dp[i - 1][j - 1] + _row_sim(
+                pred_rows[i - 1], gold_rows[j - 1], topology
+            )
             dp[i][j] = max(dp[i - 1][j], dp[i][j - 1], match)
     gained = dp[np_][ng]
     pred_mass = sum(max(len(r), 1) for r in pred_rows)
     gold_mass = sum(max(len(r), 1) for r in gold_rows)
-    precision = gained / pred_mass if pred_mass else 0.0
-    recall = gained / gold_mass if gold_mass else 0.0
+    precision = min(gained / pred_mass, 1.0) if pred_mass else 0.0
+    recall = min(gained / gold_mass, 1.0) if gold_mass else 0.0
     f1 = (
         2 * precision * recall / (precision + recall)
         if precision + recall
         else 0.0
     )
     return (precision, recall, f1)
+
+
+def grits_content(pred_rows: list[list], gold_rows: list[list]):
+    """(precision, recall, f1) over cell content mass (GriTS_Con analog)."""
+    return _grits(pred_rows, gold_rows, topology=False)
+
+
+def grits_topology(pred_rows: list[list], gold_rows: list[list]):
+    """(precision, recall, f1) over cell grid-extent IoU (GriTS_Top analog,
+    reference scripts/grits.py:224-235): a content-equal prediction with the
+    wrong cell structure (e.g. a spanning cell split, or two cells fused)
+    scores < 1 here while grits_content may still score 1."""
+    return _grits(pred_rows, gold_rows, topology=True)
+
+
+def grits_both(pred_rows: list[list], gold_rows: list[list]):
+    """(content_f1, topology_f1) pair — the reference reports the factored
+    metrics side by side (scripts/grits.py:466-497)."""
+    return (
+        grits_content(pred_rows, gold_rows)[2],
+        grits_topology(pred_rows, gold_rows)[2],
+    )

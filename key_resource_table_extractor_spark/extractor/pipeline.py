@@ -222,6 +222,8 @@ def _merge_flags(cells: np.ndarray, is_hdr: np.ndarray) -> np.ndarray:
             continue
         upper = cells[k - 1]
         lower = cells[k]
+        if spec.MERGE_REQUIRES_EMPTY_CELL and "" not in lower:
+            continue
         votes = 0
         for c in range(ncols):
             lo = lower[c]
@@ -312,6 +314,15 @@ def _extract_doc_regions(
         first_of_group[0] = True
         first_of_group[1:] = gid[1:] != gid[:-1]
         grp_off = line_off[row_lines[first_of_group]]
+        # full-width spanning rows (colspan carrier for the nested result):
+        # every source line single-segment AND exactly one non-empty cell —
+        # the section-divider shape the reference models as a spanning cell
+        # (DETR label 5, table_model.py:239-264). Partial colspans are not
+        # recoverable from character layout (documented deviation).
+        src_multi = n_segs[row_lines] > 1
+        grp_has_multi = np.bincount(gid, weights=src_multi, minlength=ngroups) > 0
+        grp_nonempty = (folded != "").sum(axis=1)
+        grp_fullspan = (~grp_has_multi) & (grp_nonempty == 1)
         # boundary media (emitted once, offset order)
         lo_off = int(line_off[lo_i]) - spec.MEDIA_BOUNDARY_SLACK
         hi_off = int(line_off[hi_i]) + spec.MEDIA_BOUNDARY_SLACK
@@ -339,6 +350,7 @@ def _extract_doc_regions(
                     out["table"].append(n_tables)
                     out["row"].append(g)
                     out["col"].append(c)
+                    out["fullspan"].append(bool(grp_fullspan[g]))
             else:
                 j = int(ev_payload[ix])
                 out["doc_id"].append(doc_id)
@@ -351,6 +363,7 @@ def _extract_doc_regions(
                 out["table"].append(n_tables)
                 out["row"].append(-1)
                 out["col"].append(-1)
+                out["fullspan"].append(False)
         n_tables += 1
     return n_tables
 
@@ -398,7 +411,7 @@ def extract_columnar(
 
     out: dict[str, list] = {
         "doc_id": [], "kind": [], "text": [], "media_ref": [], "offset": [],
-        "table": [], "row": [], "col": [],
+        "table": [], "row": [], "col": [], "fullspan": [],
     }
     n_tables = 0
     n_errors = 0
@@ -438,6 +451,7 @@ def extract_columnar(
             out["table"].append(-1)
             out["row"].append(-1)
             out["col"].append(-1)
+            out["fullspan"].append(False)
 
     # per-batch lineage/metrics row (aggregated into the checkpoint table by
     # job.run_extraction — replaces the reference's Postgres job metrics)
@@ -466,6 +480,7 @@ def extract_columnar(
         out["table"].append(-1)
         out["row"].append(-1)
         out["col"].append(-1)
+        out["fullspan"].append(False)
 
     # seq: 0-based per doc in emission order (docs are emitted contiguously),
     # computed from run lengths — no pandas groupby on the hot path
@@ -520,17 +535,25 @@ def extract_pandas_batch(pdf: pd.DataFrame, merge_rows: bool = True) -> pd.DataF
     )
 
 
-def extract_nested_batch(pdf: pd.DataFrame, merge_rows: bool = True) -> pd.DataFrame:
+def extract_nested_batch(
+    pdf: pd.DataFrame, merge_rows: bool = True, with_colspans: bool = False
+) -> pd.DataFrame:
     """One row per doc: the reference's result-JSON wrapper
     ``{"paper_id": ..., "result": {"pages": [{"page": N, "tables":
     [{"rows": [[cell, ...], ...]}]}]}}`` (reference
     HybridTableTextContentExtractor.java:87-107, row_merger.py:180-204;
-    FIXTURES.md §4). One extracted region = one page with one table."""
+    FIXTURES.md §4). One extracted region = one page with one table.
+
+    ``with_colspans=True`` emits cells as ``{"content", "colspan"}`` dicts
+    (the gold-JSON cell shape, reference html_table_converter.py:60-72,
+    merge_model_data_prep.py:296-320): detected full-width spanning rows
+    collapse to a single cell with ``colspan = ncols``."""
     if len(pdf) == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="string"),
                              "result": pd.Series(dtype="string")})
     out = extract_columnar(*_batch_to_columnar(pdf), merge_rows=merge_rows)
     docs: dict[str, dict] = {}
+    fullspan: dict[tuple, bool] = {}
     for i in range(len(out["doc_id"])):
         if out["kind"][i] != spec.KIND_TEXT:
             continue
@@ -538,14 +561,28 @@ def extract_nested_batch(pdf: pd.DataFrame, merge_rows: bool = True) -> pd.DataF
         tbl = d.setdefault(out["table"][i], {})
         row = tbl.setdefault(out["row"][i], {})
         row[out["col"][i]] = out["text"][i]
+        fullspan[(out["doc_id"][i], out["table"][i], out["row"][i])] = out[
+            "fullspan"
+        ][i]
     rows = []
     for doc_id in sorted(docs):
         pages = []
         for t in sorted(docs[doc_id]):
             tbl = docs[doc_id][t]
-            grid = [
-                [tbl[r][c] for c in sorted(tbl[r])] for r in sorted(tbl)
-            ]
+            grid = []
+            for r in sorted(tbl):
+                cells = [tbl[r][c] for c in sorted(tbl[r])]
+                if not with_colspans:
+                    grid.append(cells)
+                elif fullspan.get((doc_id, t, r)):
+                    content = next((c for c in cells if c != ""), "")
+                    grid.append(
+                        [{"content": content, "colspan": len(cells)}]
+                    )
+                else:
+                    grid.append(
+                        [{"content": c, "colspan": 1} for c in cells]
+                    )
             pages.append({"page": int(t) + 1, "tables": [{"rows": grid}]})
         result = {"paper_id": doc_id, "result": {"pages": pages}}
         rows.append((doc_id, json.dumps(result, sort_keys=True)))
@@ -562,12 +599,16 @@ def make_map_in_pandas_fn(merge_rows: bool = True):
     return fn
 
 
-def make_nested_map_in_pandas_fn(merge_rows: bool = True):
+def make_nested_map_in_pandas_fn(
+    merge_rows: bool = True, with_colspans: bool = False
+):
     """mapInPandas fn emitting the nested result-JSON (one row per doc)."""
 
     def fn(batches):
         for pdf in batches:
-            yield extract_nested_batch(pdf, merge_rows=merge_rows)
+            yield extract_nested_batch(
+                pdf, merge_rows=merge_rows, with_colspans=with_colspans
+            )
 
     return fn
 
@@ -588,7 +629,10 @@ def make_map_in_arrow_fn(merge_rows: bool = True):
             offs = la.offsets.to_numpy(zero_copy_only=False)
             lens = offs[1:] - offs[:-1]
             span_doc = np.repeat(np.arange(len(doc_ids)), lens)
-            vals = la.values
+            # slice the child array by the offset window: a sliced ListArray
+            # (nonzero offs[0]) keeps the FULL child in .values — indexing it
+            # directly would misalign span_doc with the value arrays
+            vals = la.values.slice(int(offs[0]), int(offs[-1] - offs[0]))
             kinds = vals.field("kind").to_numpy(zero_copy_only=False)
             texts = vals.field("text").to_numpy(zero_copy_only=False)
             media = vals.field("media_ref").to_numpy(zero_copy_only=False)

@@ -171,13 +171,18 @@ def extract_grouped(df: DataFrame, merge_rows: bool = True) -> DataFrame:
     return df.groupBy("doc_id").applyInPandas(fn, EXTRACTED_SPANS_DDL)
 
 
-def extract_nested(df: DataFrame, merge_rows: bool = True) -> DataFrame:
+def extract_nested(
+    df: DataFrame, merge_rows: bool = True, with_colspans: bool = False
+) -> DataFrame:
     """spans table → one row per doc with the reference's result-JSON
-    wrapper (S7 sink parity; FIXTURES.md §4)."""
+    wrapper (S7 sink parity; FIXTURES.md §4). ``with_colspans`` switches
+    cells to the gold-JSON ``{"content", "colspan"}`` shape."""
     from .extractor.pipeline import make_nested_map_in_pandas_fn
 
     return df.mapInPandas(
-        make_nested_map_in_pandas_fn(merge_rows=merge_rows),
+        make_nested_map_in_pandas_fn(
+            merge_rows=merge_rows, with_colspans=with_colspans
+        ),
         "doc_id string, result string",
     )
 

@@ -143,7 +143,9 @@ ORDER BY bucket
 
 def q_event_sessions(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
+    # total order (ts alone can have duplicates within a user — lag/frame
+    # would be nondeterministic and diverge from the ROWS-frame oracle)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # interval comparison (tz-free, works on TIMESTAMP_NTZ)
     flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
         "new_session",
@@ -155,7 +157,12 @@ def q_event_sessions(spark, sf_dir):
         .otherwise(0)
         .cast("int"),
     )
-    sess = flagged.withColumn("session_id", F.sum("new_session").over(w))
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(w_run))
     per_session = sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events")
     )
@@ -171,15 +178,15 @@ def q_event_sessions(spark, sf_dir):
 
 SQL_EVENT_SESSIONS = """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 ), per_session AS (
@@ -751,9 +758,13 @@ def q_similarity_match_join(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    cov = shared.join(sizes_a, "id_a").withColumn(
-        "coverage", F.round(F.col("shared") / F.col("na"), 4)
-    ).where(F.col("coverage") > 0.4)
+    # filter on the UNROUNDED ratio (the oracle's WHERE shared/na > 0.4);
+    # rounding happens only in the output projection
+    cov = (
+        shared.join(sizes_a, "id_a")
+        .where((F.col("shared") / F.col("na")) > 0.4)
+        .withColumn("coverage", F.round(F.col("shared") / F.col("na"), 4))
+    )
     w = Window.partitionBy("id_a").orderBy(
         F.desc("coverage"), F.asc("id_b")
     )

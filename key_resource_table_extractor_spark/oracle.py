@@ -180,6 +180,8 @@ def assign_cells(ln: Line, cols: list[tuple[int, int]]) -> list[str]:
 def merge_votes(upper: list[str], lower: list[str]) -> bool:
     """Per-column continuation votes; strict majority >= threshold merges."""
     ncols = len(upper)
+    if spec.MERGE_REQUIRES_EMPTY_CELL and all(c != "" for c in lower):
+        return False
     votes = 0
     for c in range(ncols):
         lo = lower[c]
@@ -210,6 +212,9 @@ def extract_document(spans: list[tuple], merge_rows: bool = True) -> list[tuple]
 
     out: list[tuple] = []
     seq = 0
+    # dedupe boundary media by span *index*, not offset value: offsets are
+    # not required to be unique (DOCUMENT_SPANS_SCHEMA), and the vectorized
+    # pipeline keys its media_used mask by index — both must agree
     emitted_media: set[int] = set()
     for i, j in regions:
         run = lines[i : j + 1]
@@ -248,9 +253,9 @@ def extract_document(spans: list[tuple], merge_rows: bool = True) -> list[tuple]
         lo = run[0].offset - spec.MEDIA_BOUNDARY_SLACK
         hi = run[-1].offset + spec.MEDIA_BOUNDARY_SLACK
         events: list[tuple[int, int, tuple]] = []  # (offset, order, payload)
-        for m in media:
-            if lo <= m[3] <= hi and m[3] not in emitted_media:
-                emitted_media.add(m[3])
+        for mi, m in enumerate(media):
+            if lo <= m[3] <= hi and mi not in emitted_media:
+                emitted_media.add(mi)
                 events.append((m[3], 0, m))
         for off, cells in logical:
             events.append((off, 1, ("row", cells, off)))

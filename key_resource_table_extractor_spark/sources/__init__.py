@@ -7,4 +7,8 @@
                    reference-parity tests
 """
 
-from .gold_json import gold_table_to_spans, load_gold_tables  # noqa: F401
+from .gold_json import (  # noqa: F401
+    gold_table_grid,
+    gold_table_to_spans,
+    load_gold_tables,
+)

@@ -33,6 +33,30 @@ def load_gold_tables(gold_dir: str) -> list[dict]:
     return out
 
 
+def gold_table_grid(tbl: dict, expand_colspans: bool = True) -> list[list]:
+    """Normalized cell grid of a gold table.
+
+    ``expand_colspans=True`` returns plain-string rows with a colspan>1
+    cell's content in its first spanned column and ``""`` fillers — exactly
+    what the flat text renderer below encodes. ``expand_colspans=False``
+    preserves the gold-JSON cell shape ``{"content", "colspan"}``
+    (reference html_table_converter.py:60-72, merge_model_data_prep.py:
+    296-320) for span-aware eval (``eval.grits_topology``)."""
+    grid: list[list] = []
+    for row in tbl.get("rows", []):
+        cells: list = []
+        for cell in row:
+            content = norm_cell(cell.get("content", ""))
+            colspan = max(int(cell.get("colspan", 1) or 1), 1)
+            if expand_colspans:
+                cells.append(content)
+                cells.extend([""] * (colspan - 1))
+            else:
+                cells.append({"content": content, "colspan": colspan})
+        grid.append(cells)
+    return grid
+
+
 def gold_table_to_spans(tbl: dict, with_title: bool = True) -> list[tuple]:
     """Render a gold table to (kind, text, media_ref, offset) spans.
 

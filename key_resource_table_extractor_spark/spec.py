@@ -63,6 +63,12 @@ EMPTY_CELL_VOTE = 0.5  # reference row_merger.py:65-71 (+0.5 per empty column)
 MERGE_VOTE_THRESHOLD = 0.5  # a column votes "merge" when score >= 0.5
 CONTINUATION_LEADING_CHARS = "-–+&"  # lower cell starting with these continues
 DANGLING_SUFFIXES = ("-", "–", ",", ";", "/")  # upper cell ending with these
+# a physical row with EVERY column filled is a complete record, never a
+# continuation — overflow wraps always leave the non-wrapped columns empty
+# (guards lowercase-heavy tables, e.g. primer/oligo tables in the gold
+# corpus, from collapsing into one row; the reference's GPT pair model
+# row_merger.py:60-71 learns this signal, our deterministic twin pins it)
+MERGE_REQUIRES_EMPTY_CELL = True
 
 # ---- output -------------------------------------------------------------------
 MEDIA_BOUNDARY_SLACK = 1  # media spans within +-1 offset of region bounds are

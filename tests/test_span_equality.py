@@ -50,6 +50,44 @@ def test_span_sequence_equality(spark, use_arrow):
         )
 
 
+def test_duplicate_offset_media_equality():
+    """Offsets are NOT required to be unique (DOCUMENT_SPANS_SCHEMA): two
+    media spans sharing an offset must be deduped by span index, not offset
+    value, in BOTH implementations (each emitted exactly once)."""
+    from key_resource_table_extractor_spark.extractor.pipeline import (
+        extract_pandas_batch,
+    )
+
+    doc = [
+        ("media", "", "img_a", 2),
+        ("media", "", "img_b", 2),  # same offset, distinct span
+        ("text", "Key Resources Table", "", 0),
+        ("text", "REAGENT or RESOURCE     SOURCE      IDENTIFIER", "", 1),
+        ("text", "Anti-Foo antibody       Abcam       RRID:AB_123456", "", 2),
+        ("text", "Bar protein             Sigma       RRID:SCR_004422", "", 3),
+    ]
+    exp = [
+        (k, t, m, o)
+        for (_s, k, t, m, o) in oracle.extract_document(doc)
+    ]
+    assert [m for (k, _t, m, _o) in exp if k == "media"] == ["img_a", "img_b"]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["d0"],
+            "spans": [[
+                {"kind": k, "text": t, "media_ref": m, "offset": o}
+                for (k, t, m, o) in doc
+            ]],
+        }
+    )
+    out = extract_pandas_batch(pdf)
+    out = out[out["kind"].isin(["text", "media"])]
+    got = list(
+        zip(out["kind"], out["text"], out["media_ref"], out["offset"].astype(int))
+    )
+    assert got == exp
+
+
 def test_corpus_has_coverage(spark):
     """The synthetic corpus actually exercises the interesting paths."""
     exp = oracle_frame(N_DOCS)
