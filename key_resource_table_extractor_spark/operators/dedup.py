@@ -26,6 +26,9 @@ MINHASH_PERMS = 32
 MINHASH_BANDS = 8  # 4 rows per band
 SIMHASH_BITS = 64
 MAX_BUCKET = 50  # drop degenerate LSH buckets bigger than this
+MAX_SHINGLE_DF = 50  # drop stop-shingles present in more docs than this:
+# a shingle in k docs yields k^2 join rows — at web scale a boilerplate
+# shingle ("all rights reserved ...") would otherwise dominate the shuffle
 
 
 def _words(col="text"):
@@ -78,14 +81,43 @@ GROUP BY fp HAVING count(*) > 1 ORDER BY fp
 # --------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, min_common: int = 2
+    docs: DataFrame, n: int = 3, min_common: int = 2,
+    max_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    sh = shingles_df(docs, n)
+    """Near-dup pairs by shared-shingle count, hardened for scale:
+
+    - shingles are hashed to int64 MAP-SIDE (``xxhash64``) so the self-join
+      shuffle carries (hash, doc_id) pairs, never shingle text (same trick
+      as ``minhash_signatures``);
+    - shingles whose document frequency exceeds ``max_df`` are dropped
+      before the self-join (the ``MAX_BUCKET``-style guard): a stop-shingle
+      in k docs would otherwise yield k² candidate rows. Jaccard
+      denominators still use each doc's FULL shingle count, so surviving
+      pairs score exactly as before; pairs supported only by stop-shingles
+      are not near-dups worth reporting at scale.
+
+    The DuckDB oracle applies the identical df cap on shingle text — results
+    match modulo 64-bit hash collisions (none at test scale).
+    """
+    w = _words()
+    hashed = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i + 1, n))),
+    )
+    sh = (
+        docs.where(F.size(w) >= n)
+        .select(F.col("doc_id"), F.explode(hashed).alias("h"))
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    doc_freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    pruned = sh.join(doc_freq.where(F.col("df") <= max_df), "h").select(
+        "doc_id", "h"
+    )
+    a = pruned.alias("a")
+    b = pruned.alias("b")
     common = (
-        a.join(b, "sh")
+        a.join(b, "h")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -129,9 +161,13 @@ WITH w AS (
   WHERE len(wl) >= 3
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), doc_freq AS (
+  SELECT sh, count(*) AS df FROM sh GROUP BY sh
+), kept AS (
+  SELECT s.doc_id, s.sh FROM sh s JOIN doc_freq USING (sh) WHERE df <= 50
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
 )
 SELECT doc_a, doc_b, common,
@@ -267,6 +303,11 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     ex = sim.select(
         "doc_id", "simhash", F.posexplode(bands).alias("band", "bval")
     )
+    # defuse skewed band buckets before the self-join (same guard as the
+    # minhash path): templated/short docs collapse to few simhash values,
+    # and one hot 16-bit band value would otherwise go quadratic
+    band_sizes = ex.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("bn"))
+    ex = ex.join(band_sizes.where(F.col("bn") <= MAX_BUCKET), ["band", "bval"])
     a = ex.alias("a")
     b = ex.alias("b")
     return (

@@ -56,6 +56,67 @@ def test_ngram_jaccard_scores_planted_pair(spark, docs):
     assert (3, 4) not in by_pair
 
 
+def test_ngram_stop_shingle_df_cap_bounds_pairs(spark):
+    """A boilerplate shingle present in > MAX_SHINGLE_DF docs must NOT pair
+    every doc with every other (k² blowup); genuinely near-dup docs still
+    pair via their sub-cap shingles."""
+    k = dedup.MAX_SHINGLE_DF + 10
+    stop = "all rights reserved"  # one shared 3-gram across all docs
+    rows = [(i, f"{stop} unique{i} token{i} filler{i} body{i}") for i in range(k)]
+    # plant one true near-dup pair sharing many rare shingles
+    rows.append((1000, "alpha beta gamma delta epsilon zeta eta theta iota"))
+    rows.append((1001, "alpha beta gamma delta epsilon zeta eta theta kappa"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = dedup.ngram_jaccard_pairs(docs, min_common=2).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1000, 1001) in found
+    # without the cap the stop shingle alone yields k*(k-1)/2 candidates;
+    # with it, no boilerplate-only pair survives (they share just 1 shingle
+    # anyway, but the cap kills the candidate generation itself)
+    assert all(a >= 1000 for a, _b in found), sorted(found)[:5]
+
+
+def test_ngram_df_cap_matches_text_oracle(spark):
+    """Hashed+capped Spark pairs == text-based capped pairs (collision-free
+    at this scale): the hashing is a pure shuffle-size optimization."""
+    rows = [
+        (1, BASE), (2, NEAR), (3, OTHER), (4, OTHER2),
+        (5, BASE.replace("quick", "rapid")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_a"], r["doc_b"], r["common"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") AS t(doc_id, text)"
+    )
+    exp = {
+        (a, b, c, j)
+        for a, b, c, j in con.execute(dedup.SQL_NGRAM_JACCARD_PAIRS).fetchall()
+    }
+    assert got == exp
+
+
+def test_simhash_hot_band_guard(spark):
+    """> MAX_BUCKET docs sharing a band value (here: identical docs → all
+    bands identical) must be dropped by the bucket guard instead of going
+    quadratic; a small cluster still pairs up."""
+    hot = [(i, OTHER) for i in range(dedup.MAX_BUCKET + 10)]
+    small = [(2000, BASE), (2001, NEAR)]
+    docs = spark.createDataFrame(hot + small, "doc_id bigint, text string")
+    pairs = dedup.simhash_near_dups(docs, max_hamming=6).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (2000, 2001) in found
+    # hot-bucket docs (exact dups — exact dedup's job, not simhash's) pruned
+    assert all(a >= 2000 for a, _b in found), sorted(found)[:5]
+
+
 def test_minhash_signature_stability(spark, docs):
     """Signatures are deterministic across runs/partitionings."""
     s1 = {

@@ -35,3 +35,21 @@ def test_anti_join_prunes_columns(spark):
     # lineitem side must read only the join key + filter column
     assert "l_extendedprice" not in cols
     assert "l_returnflag" in cols
+
+
+def test_ngram_self_join_shuffles_hashes_not_text(spark):
+    """The near-dup self-join key must be the int64 shingle hash: the
+    exchange before the join carries (h, doc_id), never shingle strings."""
+    from key_resource_table_extractor_spark.operators import dedup
+    from key_resource_table_extractor_spark.plans.audit import explain_str
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = explain_str(dedup.ngram_jaccard_pairs(docs))
+    key_lines = [
+        ln.strip() for ln in plan.splitlines()
+        if ln.strip().startswith(("Left keys", "Right keys"))
+    ]
+    assert key_lines and any("[h#" in ln for ln in key_lines), key_lines
+    assert not any("[sh#" in ln for ln in key_lines), key_lines
+    # and no string shingle column survives anywhere in the physical plan
+    assert "sh#" not in plan
