@@ -19,7 +19,6 @@ granularity without reprocessing completed doc ranges.
 
 from __future__ import annotations
 
-import json
 import time
 import uuid
 
@@ -233,6 +232,7 @@ def run_extraction(
     salt: int = 0,
     use_arrow: bool = True,
     fail_after_bucket: int | None = None,
+    buckets: list[int] | None = None,
 ) -> dict:
     """Run (or resume) the extraction over ``input_df``.
 
@@ -241,9 +241,20 @@ def run_extraction(
     checkpoint row is appended. A killed run re-invoked with the same
     ``run_id`` skips completed buckets.
 
+    Per-bucket metrics (the per-batch ``kind='stats'`` rows plus the output
+    row count) are collected with ``df.observe()`` DURING the single write
+    pass — no post-write re-read of the bucket directory.
+
+    ``buckets`` restricts the run to a subset of bucket ids: at large K an
+    orchestrator can shard buckets across concurrent driver processes
+    (each an independent, idempotent write + checkpoint append) instead of
+    this driver's serial loop — see docs/SCALE.md.
+
     ``fail_after_bucket`` injects a crash after that bucket commits — used by
     the resume test.
     """
+    from pyspark.sql import Observation
+
     run_id = run_id or uuid.uuid4().hex[:12]
     partitions_per_bucket = (
         partitions_per_bucket or spark.sparkContext.defaultParallelism
@@ -254,37 +265,40 @@ def run_extraction(
         F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"),
     )
     summary = {"run_id": run_id, "buckets_run": 0, "buckets_skipped": len(done)}
-    for b in range(n_buckets):
+    todo = buckets if buckets is not None else range(n_buckets)
+    is_stats = F.col("kind") == STATS_KIND
+
+    def _stat(field):
+        return F.when(is_stats, F.get_json_object("text", f"$.{field}"))
+
+    for b in todo:
         if b in done:
             continue
         t0 = time.time()
         bdf = bucketed.filter(F.col("__bucket") == b).drop("__bucket")
         bdf = salted_repartition(bdf, partitions_per_bucket, salt)
         out = extract(bdf, use_arrow=use_arrow)
+        obs = Observation(f"krt_{run_id}_{b}_{uuid.uuid4().hex[:6]}")
+        out = out.observe(
+            obs,
+            F.sum(_stat("n_docs").cast("long")).alias("n_docs"),
+            F.sum(_stat("n_spans_in").cast("long")).alias("n_spans_in"),
+            F.sum(_stat("n_tables").cast("long")).alias("n_tables"),
+            F.sum(_stat("n_errors").cast("long")).alias("n_errors"),
+            F.min(_stat("doc_id_min")).alias("doc_id_min"),
+            F.max(_stat("doc_id_max")).alias("doc_id_max"),
+            F.sum(
+                F.when(F.col("kind").isin(*DATA_KINDS), 1).otherwise(0)
+            ).alias("n_spans_out"),
+        )
         bucket_dir = f"{output_path}/bucket={b}"
         out.write.mode("overwrite").parquet(bucket_dir)
-        # aggregate the per-batch stats rows into the checkpoint row
-        written = spark.read.parquet(bucket_dir)
-        stats = (
-            written.filter(F.col("kind") == STATS_KIND)
-            .select(F.col("text").alias("js"))
-            .collect()
-        )
-        agg = {"n_docs": 0, "n_spans_in": 0, "n_tables": 0, "n_errors": 0,
-               "doc_id_min": None, "doc_id_max": None}
-        for r in stats:
-            d = json.loads(r["js"])
-            agg["n_docs"] += d["n_docs"]
-            agg["n_spans_in"] += d["n_spans_in"]
-            agg["n_tables"] += d["n_tables"]
-            agg["n_errors"] += d["n_errors"]
-            for k, fn in (("doc_id_min", min), ("doc_id_max", max)):
-                if d.get(k) is not None:
-                    agg[k] = d[k] if agg[k] is None else fn(agg[k], d[k])
-        n_out = written.filter(F.col("kind").isin(*DATA_KINDS)).count()
+        m = obs.get
         cp_row = [(
-            run_id, b, agg["doc_id_min"], agg["doc_id_max"], agg["n_docs"],
-            agg["n_spans_in"], n_out, agg["n_tables"], agg["n_errors"],
+            run_id, b, m["doc_id_min"], m["doc_id_max"],
+            int(m["n_docs"] or 0), int(m["n_spans_in"] or 0),
+            int(m["n_spans_out"] or 0), int(m["n_tables"] or 0),
+            int(m["n_errors"] or 0),
             int((time.time() - t0) * 1000), "done",
         )]
         spark.createDataFrame(

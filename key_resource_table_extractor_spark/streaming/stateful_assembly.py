@@ -63,14 +63,16 @@ def _assemble(key, pdfs, state: GroupState):
         kinds, texts, refs, offsets = [], [], [], []
     done = False
     for pdf in pdfs:
-        for _i, r in pdf.iterrows():
-            if r["kind"] == END_KIND:
-                done = True
-                continue
-            kinds.append(r["kind"])
-            texts.append(r["text"])
-            refs.append(r["media_ref"])
-            offsets.append(int(r["offset"]))
+        # vectorized accumulate: mask out end-markers, extend column-wise
+        # (no per-row Python loop — the repo-wide invariant)
+        is_end = pdf["kind"].to_numpy() == END_KIND
+        if is_end.any():
+            done = True
+        keep = pdf[~is_end]
+        kinds.extend(keep["kind"].tolist())
+        texts.extend(keep["text"].tolist())
+        refs.extend(keep["media_ref"].tolist())
+        offsets.extend(keep["offset"].astype("int64").tolist())
     if not done:
         state.update((kinds, texts, refs, offsets))
         return iter(())

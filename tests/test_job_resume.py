@@ -62,6 +62,29 @@ def test_resume_skips_completed_buckets(spark, tmp_path):
         assert r["doc_id_min"] <= r["doc_id_max"]
 
 
+def test_bucket_subset_sharding(spark, tmp_path):
+    """`buckets=` shards a run across invocations (the concurrent-
+    orchestrator shape at large K): two half-runs + checkpoint equal one
+    clean full run, and a third invocation has nothing left to do."""
+    inp = job.synthesize_spans(spark, 80, partitions=2)
+    out = str(tmp_path / "o")
+    cp = str(tmp_path / "c")
+    common = dict(n_buckets=4, partitions_per_bucket=2)
+    s1 = job.run_extraction(spark, inp, out, cp, run_id="sh",
+                            buckets=[0, 2], **common)
+    s2 = job.run_extraction(spark, inp, out, cp, run_id="sh",
+                            buckets=[1, 3], **common)
+    assert s1["buckets_run"] == 2 and s2["buckets_run"] == 2
+    full = job.run_extraction(spark, inp, out, cp, run_id="sh", **common)
+    assert full["buckets_run"] == 0 and full["buckets_skipped"] == 4
+    gold_dir = str(tmp_path / "g")
+    job.run_extraction(spark, inp, gold_dir, str(tmp_path / "gc"),
+                       run_id="g", **common)
+    assert sorted_pdf(job.read_output(spark, out)).equals(
+        sorted_pdf(job.read_output(spark, gold_dir))
+    )
+
+
 def test_doc_level_resume_filter(spark):
     inp = job.synthesize_spans(spark, 50, partitions=2)
     done = inp.limit(20).select("doc_id")
