@@ -172,6 +172,29 @@ def _in_table_pass(li_doc, n_segs, indent, has_rrid, is_header, sect_ok):
 # per-region structure build (numpy; small arrays)
 # --------------------------------------------------------------------------
 
+def _excepted_lines_keep_mask(
+    li_doc: np.ndarray, excepted_lines: list[int]
+) -> np.ndarray:
+    """Per-line keep mask dropping each doc's excepted text-line indices
+    (Python-style negative indexing, out-of-range ignored — reference
+    PDFTableExtractor2.java:93-128). Vectorized over the whole batch."""
+    n = len(li_doc)
+    if n == 0:
+        return np.ones(0, dtype=bool)
+    change = np.r_[True, li_doc[1:] != li_doc[:-1]]
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.r_[starts, n])
+    pos = np.arange(n) - np.repeat(starts, counts)
+    lens = np.repeat(counts, counts)
+    excl = np.zeros(n, dtype=bool)
+    for ix in excepted_lines:
+        if ix >= 0:
+            excl |= pos == ix
+        else:
+            excl |= pos == lens + ix
+    return ~excl
+
+
 def _column_union(starts: np.ndarray, ends: np.ndarray):
     """Merge overlapping segment x-intervals → disjoint column trap ranges."""
     order = np.argsort(starts, kind="stable")
@@ -250,12 +273,17 @@ def _extract_doc_regions(
     media_ref: np.ndarray,
     out: dict,
     merge_rows: bool = True,
+    excepted_pages: list[int] | None = None,
 ) -> int:
     """Emit one doc's regions into the output accumulator. Returns #tables.
 
     ``merge_rows=False`` is the reference's ``use_row_info`` switch analog
     (pipeline A vs B, reference README:121-122, PDFTableExtractor2.java:
     200-208): physical rows are emitted as-is, no continuation merging.
+
+    ``excepted_pages`` skips detected regions by index in the doc's
+    detection order (negative = from the end, out-of-range ignored —
+    reference PDFTableExtractor2.java:641-651).
     """
     n_tables = 0
     media_used = np.zeros(len(media_off), dtype=bool)
@@ -270,7 +298,16 @@ def _extract_doc_regions(
     run_starts = kept[run_break]
     rb_idx = np.flatnonzero(run_break)
     run_ends = np.concatenate([kept[rb_idx[1:] - 1], kept[-1:]])
-    for lo_i, hi_i in zip(run_starts, run_ends):
+    excl_pages: set[int] = set()
+    if excepted_pages:
+        nr = len(run_starts)
+        for ix in excepted_pages:
+            j = ix if ix >= 0 else nr + ix
+            if 0 <= j < nr:
+                excl_pages.add(j)
+    for ri, (lo_i, hi_i) in enumerate(zip(run_starts, run_ends)):
+        if ri in excl_pages:
+            continue
         lines_idx = np.arange(lo_i, hi_i + 1)
         smask = (seg_line >= lo_i) & (seg_line <= hi_i)
         sl, ss, se, st = seg_line[smask], seg_s[smask], seg_e[smask], seg_t[smask]
@@ -380,6 +417,8 @@ def extract_columnar(
     media_refs: np.ndarray,
     offsets: np.ndarray,
     merge_rows: bool = True,
+    excepted_lines: list[int] | None = None,
+    excepted_pages: list[int] | None = None,
 ) -> dict:
     """Extraction over flat columnar span arrays for a batch of docs.
     Returns a dict of output columns (lists / numpy arrays), including the
@@ -395,7 +434,13 @@ def extract_columnar(
     is_text = kinds == spec.KIND_TEXT
     li_doc = span_doc[is_text]
     li_off = offsets[is_text]
-    li_text_s = pd.Series(texts[is_text]).fillna("").astype(str)
+    li_texts_raw = texts[is_text]
+    if excepted_lines:
+        li_keep = _excepted_lines_keep_mask(li_doc, excepted_lines)
+        li_doc = li_doc[li_keep]
+        li_off = li_off[li_keep]
+        li_texts_raw = li_texts_raw[li_keep]
+    li_text_s = pd.Series(li_texts_raw).fillna("").astype(str)
     li_text = li_text_s.to_numpy()
 
     seg_line, seg_s, seg_e, seg_t, n_segs, indent = _segment_scan(li_text)
@@ -440,6 +485,7 @@ def extract_columnar(
                 md_ref[m0:m1],
                 out,
                 merge_rows=merge_rows,
+                excepted_pages=excepted_pages,
             )
         except Exception:  # per-doc isolation (reference stores err_msg)
             n_errors += 1
@@ -523,7 +569,12 @@ def _batch_to_columnar(pdf: pd.DataFrame):
     return doc_ids, span_doc, kinds, texts, media, offs
 
 
-def extract_pandas_batch(pdf: pd.DataFrame, merge_rows: bool = True) -> pd.DataFrame:
+def extract_pandas_batch(
+    pdf: pd.DataFrame,
+    merge_rows: bool = True,
+    excepted_lines: list[int] | None = None,
+    excepted_pages: list[int] | None = None,
+) -> pd.DataFrame:
     """Extraction over a ``(doc_id, spans)`` pandas batch (mapInPandas)."""
     if len(pdf) == 0:
         return pd.DataFrame(
@@ -531,12 +582,21 @@ def extract_pandas_batch(pdf: pd.DataFrame, merge_rows: bool = True) -> pd.DataF
              for c in OUTPUT_COLUMNS}
         )
     return _columns_to_pandas(
-        extract_columnar(*_batch_to_columnar(pdf), merge_rows=merge_rows)
+        extract_columnar(
+            *_batch_to_columnar(pdf),
+            merge_rows=merge_rows,
+            excepted_lines=excepted_lines,
+            excepted_pages=excepted_pages,
+        )
     )
 
 
 def extract_nested_batch(
-    pdf: pd.DataFrame, merge_rows: bool = True, with_colspans: bool = False
+    pdf: pd.DataFrame,
+    merge_rows: bool = True,
+    with_colspans: bool = False,
+    excepted_lines: list[int] | None = None,
+    excepted_pages: list[int] | None = None,
 ) -> pd.DataFrame:
     """One row per doc: the reference's result-JSON wrapper
     ``{"paper_id": ..., "result": {"pages": [{"page": N, "tables":
@@ -551,7 +611,12 @@ def extract_nested_batch(
     if len(pdf) == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="string"),
                              "result": pd.Series(dtype="string")})
-    out = extract_columnar(*_batch_to_columnar(pdf), merge_rows=merge_rows)
+    out = extract_columnar(
+        *_batch_to_columnar(pdf),
+        merge_rows=merge_rows,
+        excepted_lines=excepted_lines,
+        excepted_pages=excepted_pages,
+    )
     docs: dict[str, dict] = {}
     fullspan: dict[tuple, bool] = {}
     for i in range(len(out["doc_id"])):
@@ -589,31 +654,51 @@ def extract_nested_batch(
     return pd.DataFrame(rows, columns=["doc_id", "result"])
 
 
-def make_map_in_pandas_fn(merge_rows: bool = True):
+def make_map_in_pandas_fn(
+    merge_rows: bool = True,
+    excepted_lines: list[int] | None = None,
+    excepted_pages: list[int] | None = None,
+):
     """Iterator-style fn for ``DataFrame.mapInPandas`` (Arrow-batched)."""
 
     def fn(batches):
         for pdf in batches:
-            yield extract_pandas_batch(pdf, merge_rows=merge_rows)
+            yield extract_pandas_batch(
+                pdf,
+                merge_rows=merge_rows,
+                excepted_lines=excepted_lines,
+                excepted_pages=excepted_pages,
+            )
 
     return fn
 
 
 def make_nested_map_in_pandas_fn(
-    merge_rows: bool = True, with_colspans: bool = False
+    merge_rows: bool = True,
+    with_colspans: bool = False,
+    excepted_lines: list[int] | None = None,
+    excepted_pages: list[int] | None = None,
 ):
     """mapInPandas fn emitting the nested result-JSON (one row per doc)."""
 
     def fn(batches):
         for pdf in batches:
             yield extract_nested_batch(
-                pdf, merge_rows=merge_rows, with_colspans=with_colspans
+                pdf,
+                merge_rows=merge_rows,
+                with_colspans=with_colspans,
+                excepted_lines=excepted_lines,
+                excepted_pages=excepted_pages,
             )
 
     return fn
 
 
-def make_map_in_arrow_fn(merge_rows: bool = True):
+def make_map_in_arrow_fn(
+    merge_rows: bool = True,
+    excepted_lines: list[int] | None = None,
+    excepted_pages: list[int] | None = None,
+):
     """Zero-copy-ish fn for ``DataFrame.mapInArrow`` — flattens the
     list<struct> spans column columnar-side, no per-span Python dicts."""
     import pyarrow as pa
@@ -644,6 +729,8 @@ def make_map_in_arrow_fn(merge_rows: bool = True):
                 np.asarray(media, dtype=object),
                 np.asarray(offsets, dtype=np.int64),
                 merge_rows=merge_rows,
+                excepted_lines=excepted_lines,
+                excepted_pages=excepted_pages,
             )
             # build arrow arrays directly — no pandas on the output path
             yield pa.RecordBatch.from_arrays(

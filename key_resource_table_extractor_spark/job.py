@@ -139,18 +139,26 @@ def size_balanced_repartition(
 # --------------------------------------------------------------------------
 
 def extract(
-    df: DataFrame, use_arrow: bool = True, merge_rows: bool = True
+    df: DataFrame,
+    use_arrow: bool = True,
+    merge_rows: bool = True,
+    excepted_lines: list[int] | None = None,
+    excepted_pages: list[int] | None = None,
 ) -> DataFrame:
     """spans table → extracted span rows (+ per-batch stats rows).
 
-    ``merge_rows`` is the reference's use_row_info switch analog."""
-    if use_arrow:
-        return df.mapInArrow(
-            make_map_in_arrow_fn(merge_rows=merge_rows), EXTRACTED_SPANS_DDL
-        )
-    return df.mapInPandas(
-        make_map_in_pandas_fn(merge_rows=merge_rows), EXTRACTED_SPANS_DDL
+    ``merge_rows`` is the reference's use_row_info switch analog;
+    ``excepted_lines``/``excepted_pages`` drop text lines / detected
+    regions by per-doc index, negative = from the end (the reference's
+    excepted lines/pages config, PDFTableExtractor2.java:93-128)."""
+    kw = dict(
+        merge_rows=merge_rows,
+        excepted_lines=excepted_lines,
+        excepted_pages=excepted_pages,
     )
+    if use_arrow:
+        return df.mapInArrow(make_map_in_arrow_fn(**kw), EXTRACTED_SPANS_DDL)
+    return df.mapInPandas(make_map_in_pandas_fn(**kw), EXTRACTED_SPANS_DDL)
 
 
 def extract_grouped(df: DataFrame, merge_rows: bool = True) -> DataFrame:
@@ -233,6 +241,8 @@ def run_extraction(
     use_arrow: bool = True,
     fail_after_bucket: int | None = None,
     buckets: list[int] | None = None,
+    excepted_lines: list[int] | None = None,
+    excepted_pages: list[int] | None = None,
 ) -> dict:
     """Run (or resume) the extraction over ``input_df``.
 
@@ -277,7 +287,12 @@ def run_extraction(
         t0 = time.time()
         bdf = bucketed.filter(F.col("__bucket") == b).drop("__bucket")
         bdf = salted_repartition(bdf, partitions_per_bucket, salt)
-        out = extract(bdf, use_arrow=use_arrow)
+        out = extract(
+            bdf,
+            use_arrow=use_arrow,
+            excepted_lines=excepted_lines,
+            excepted_pages=excepted_pages,
+        )
         obs = Observation(f"krt_{run_id}_{b}_{uuid.uuid4().hex[:6]}")
         out = out.observe(
             obs,

@@ -703,6 +703,24 @@ def q_sketch_distinct_users(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# sketch_value_percentiles — approx_percentile sketch (rows-only: sketch
+# estimates are engine-specific; tolerance-vs-exact oracle in tests)
+# --------------------------------------------------------------------------
+
+def q_sketch_value_percentiles(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("ap50"),
+            F.expr("approx_percentile(value, 0.95, 10000)").alias("ap95"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # deterministic_sample — O3/O4 seeded sampling, engine-portable via md5
 # --------------------------------------------------------------------------
 
@@ -805,6 +823,7 @@ SELECT id_a, id_b, coverage FROM (
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "sketch_distinct_users": q_sketch_distinct_users,
+    "sketch_value_percentiles": q_sketch_value_percentiles,
     "deterministic_sample": q_deterministic_sample,
     "similarity_match_join": q_similarity_match_join,
     "supplier_balance_by_nation": q_supplier_balance_by_nation,

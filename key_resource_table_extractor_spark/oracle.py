@@ -200,14 +200,48 @@ def merge_votes(upper: list[str], lower: list[str]) -> bool:
     return votes * 2 > ncols
 
 
-def extract_document(spans: list[tuple], merge_rows: bool = True) -> list[tuple]:
+def _normalize_excepted(indices, n: int) -> set[int]:
+    """Python-style index normalization: negative counts from the end;
+    out-of-range entries are ignored (reference PDFTableExtractor2.java:
+    93-128,559-563 — excepted lines/pages accept negative indices)."""
+    out = set()
+    for ix in indices or ():
+        j = ix if ix >= 0 else n + ix
+        if 0 <= j < n:
+            out.add(j)
+    return out
+
+
+def extract_document(
+    spans: list[tuple],
+    merge_rows: bool = True,
+    excepted_lines: list[int] | None = None,
+    excepted_pages: list[int] | None = None,
+) -> list[tuple]:
     """Full cascade for one doc. spans: (kind, text, media_ref, offset).
 
     ``merge_rows=False`` disables the continuation-merge phase (the
-    reference's use_row_info pipeline-A semantics)."""
+    reference's use_row_info pipeline-A semantics).
+
+    ``excepted_lines``: indices into the doc's offset-sorted text-line
+    sequence to drop BEFORE analysis (as if absent from the document);
+    ``excepted_pages``: indices into the detected-region sequence (the
+    page/table unit of the span-space rebuild) to skip. Both accept
+    negative indices (reference PDFTableExtractor2.java:93-128,641-651).
+    """
     spans = sorted(spans, key=lambda s: s[3])
+    if excepted_lines:
+        text_pos = [i for i, s in enumerate(spans) if s[0] == spec.KIND_TEXT]
+        drop = {
+            text_pos[j]
+            for j in _normalize_excepted(excepted_lines, len(text_pos))
+        }
+        spans = [s for i, s in enumerate(spans) if i not in drop]
     lines = analyze_lines(spans)
     regions = find_regions(lines)
+    if excepted_pages:
+        excl = _normalize_excepted(excepted_pages, len(regions))
+        regions = [r for i, r in enumerate(regions) if i not in excl]
     media = [s for s in spans if s[0] == spec.KIND_MEDIA]
 
     out: list[tuple] = []

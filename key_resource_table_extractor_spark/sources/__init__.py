@@ -12,3 +12,4 @@ from .gold_json import (  # noqa: F401
     gold_table_to_spans,
     load_gold_tables,
 )
+from .html_gold import gold_table_to_html, html_to_gold_tables  # noqa: F401

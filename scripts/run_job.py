@@ -37,7 +37,19 @@ def main(argv=None):
     p.add_argument("--master", default=None, help="e.g. local[8]")
     p.add_argument("--fail-after-bucket", type=int, default=None,
                    help="inject a crash after this bucket (resume testing)")
+    p.add_argument("--bucket-subset", default=None,
+                   help="comma-separated bucket ids to run (orchestrator "
+                        "sharding); default: all")
+    p.add_argument("--excepted-lines", default=None,
+                   help="comma-separated per-doc text-line indices to drop "
+                        "(negative = from end)")
+    p.add_argument("--excepted-pages", default=None,
+                   help="comma-separated detected-region indices to skip "
+                        "(negative = from end)")
     args = p.parse_args(argv)
+
+    def _ints(s):
+        return [int(x) for x in s.split(",")] if s else None
 
     from key_resource_table_extractor_spark import job
     from key_resource_table_extractor_spark.session import build_session
@@ -55,6 +67,9 @@ def main(argv=None):
             spark, inp, args.out, args.checkpoint, run_id=args.run_id,
             n_buckets=args.buckets, partitions_per_bucket=args.partitions,
             salt=args.salt, fail_after_bucket=args.fail_after_bucket,
+            buckets=_ints(args.bucket_subset),
+            excepted_lines=_ints(args.excepted_lines),
+            excepted_pages=_ints(args.excepted_pages),
         )
         wall = time.time() - t0
         out_rows = job.read_output(spark, args.out).count()

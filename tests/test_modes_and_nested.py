@@ -41,6 +41,37 @@ def flat(out, doc_id="d0"):
     return list(zip(out["kind"], out["text"], out["offset"].astype(int)))
 
 
+def test_excepted_lines_and_pages_match_oracle():
+    """F2 parity: excepted line/page indices (incl. negative) are honored
+    identically by the oracle and the vectorized pipeline."""
+    cases = [
+        dict(excepted_lines=[2]),        # drop the first data row
+        dict(excepted_lines=[-1]),       # drop the last line
+        dict(excepted_lines=[0, -2]),    # title + second-to-last
+        dict(excepted_lines=[99, -99]),  # out-of-range → ignored
+        dict(excepted_pages=[0]),        # skip the (only) detected region
+        dict(excepted_pages=[-1]),
+        dict(excepted_pages=[5, -7]),    # out-of-range → ignored
+        dict(excepted_lines=[3], excepted_pages=[0]),
+    ]
+    for kw in cases:
+        out = extract_pandas_batch(pdf_of(DOC), **kw)
+        got = flat(out)
+        exp = [
+            (k, t, o)
+            for (_s, k, t, _m, o) in oracle.extract_document(DOC, **kw)
+        ]
+        assert got == exp, (kw, got, exp)
+    # semantics: dropping title+header keeps the region alive (RRID rows
+    # still make it relevant) — parity covered above; excepting ALL lines
+    # leaves nothing to extract
+    assert len(flat(extract_pandas_batch(pdf_of(DOC),
+                                         excepted_lines=list(range(5))))) == 0
+    # and excepting all pages yields nothing while baseline is non-empty
+    assert len(flat(extract_pandas_batch(pdf_of(DOC)))) > 0
+    assert len(flat(extract_pandas_batch(pdf_of(DOC), excepted_pages=[0, 1, 2]))) == 0
+
+
 def test_merge_flag_changes_output_and_matches_oracle():
     merged = extract_pandas_batch(pdf_of(DOC), merge_rows=True)
     raw = extract_pandas_batch(pdf_of(DOC), merge_rows=False)

@@ -24,6 +24,33 @@ def test_hll_distinct_within_tolerance(spark):
         assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.05, dict(r.asDict())
 
 
+def test_sketch_value_percentiles_query_within_tolerance(spark):
+    """The driver-facing sketch_value_percentiles query (rows-only in the
+    gate) lands within tolerance of exact per-group percentiles."""
+    from key_resource_table_extractor_spark.operators.relational import (
+        q_sketch_value_percentiles,
+    )
+
+    got = {
+        r["event_type"]: r
+        for r in q_sketch_value_percentiles(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("e50"),
+            F.expr("percentile(value, 0.95)").alias("e95"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact) and got
+    for k in got:
+        assert abs(got[k]["ap50"] - exact[k]["e50"]) / exact[k]["e50"] < 0.02
+        assert abs(got[k]["ap95"] - exact[k]["e95"]) / exact[k]["e95"] < 0.02
+
+
 def test_approx_quantiles_within_tolerance(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     row = li.agg(

@@ -50,6 +50,36 @@ def test_span_sequence_equality(spark, use_arrow):
         )
 
 
+def test_excepted_lines_equality_through_spark(spark):
+    """F2 config flows through the mapInArrow job path and matches the
+    oracle given the same exclusions."""
+    n = 60
+    kw = dict(excepted_lines=[0, -1], excepted_pages=[1])
+    df = job.synthesize_spans(spark, n, partitions=3)
+    got = (
+        job.data_spans(job.extract(df, **kw))
+        .toPandas()
+        .sort_values(["doc_id", "seq"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for doc_id, spans in synth.generate_corpus(n):
+        out = oracle.extract_document(
+            [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans],
+            **kw,
+        )
+        for seq, kind, text, media_ref, offset in out:
+            rows.append((doc_id, seq, kind, text, media_ref, offset))
+    exp = (
+        pd.DataFrame(rows, columns=list(got.columns))
+        .sort_values(["doc_id", "seq"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for col in got.columns:
+        assert (got[col].astype(str) == exp[col].astype(str)).all(), col
+
+
 def test_duplicate_offset_media_equality():
     """Offsets are NOT required to be unique (DOCUMENT_SPANS_SCHEMA): two
     media spans sharing an offset must be deduped by span index, not offset
