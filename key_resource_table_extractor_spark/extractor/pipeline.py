@@ -274,6 +274,7 @@ def _extract_doc_regions(
     out: dict,
     merge_rows: bool = True,
     excepted_pages: list[int] | None = None,
+    row_model: str | None = None,
 ) -> int:
     """Emit one doc's regions into the output accumulator. Returns #tables.
 
@@ -334,7 +335,13 @@ def _extract_doc_regions(
         rows = grid[nonempty]
         row_lines = lines_idx[nonempty]
         hdr = is_header[row_lines]
-        if merge_rows:
+        mode = row_model or ("votes" if merge_rows else "none")
+        if mode == "anchor":
+            # J4 analog (reference PDFTableExtractor2.java:334-380): rows
+            # lacking their col-0 anchor fold into the detected row above
+            merge = (rows[:, 0] == "") & ~hdr
+            merge[0] = False
+        elif mode == "votes":
             merge = _merge_flags(rows, hdr)
         else:
             merge = np.zeros(len(rows), dtype=bool)
@@ -419,6 +426,7 @@ def extract_columnar(
     merge_rows: bool = True,
     excepted_lines: list[int] | None = None,
     excepted_pages: list[int] | None = None,
+    row_model: str | None = None,
 ) -> dict:
     """Extraction over flat columnar span arrays for a batch of docs.
     Returns a dict of output columns (lists / numpy arrays), including the
@@ -486,6 +494,7 @@ def extract_columnar(
                 out,
                 merge_rows=merge_rows,
                 excepted_pages=excepted_pages,
+                row_model=row_model,
             )
         except Exception:  # per-doc isolation (reference stores err_msg)
             n_errors += 1
@@ -574,6 +583,7 @@ def extract_pandas_batch(
     merge_rows: bool = True,
     excepted_lines: list[int] | None = None,
     excepted_pages: list[int] | None = None,
+    row_model: str | None = None,
 ) -> pd.DataFrame:
     """Extraction over a ``(doc_id, spans)`` pandas batch (mapInPandas)."""
     if len(pdf) == 0:
@@ -587,6 +597,7 @@ def extract_pandas_batch(
             merge_rows=merge_rows,
             excepted_lines=excepted_lines,
             excepted_pages=excepted_pages,
+            row_model=row_model,
         )
     )
 
@@ -597,6 +608,7 @@ def extract_nested_batch(
     with_colspans: bool = False,
     excepted_lines: list[int] | None = None,
     excepted_pages: list[int] | None = None,
+    row_model: str | None = None,
 ) -> pd.DataFrame:
     """One row per doc: the reference's result-JSON wrapper
     ``{"paper_id": ..., "result": {"pages": [{"page": N, "tables":
@@ -616,6 +628,7 @@ def extract_nested_batch(
         merge_rows=merge_rows,
         excepted_lines=excepted_lines,
         excepted_pages=excepted_pages,
+        row_model=row_model,
     )
     docs: dict[str, dict] = {}
     fullspan: dict[tuple, bool] = {}
@@ -658,6 +671,7 @@ def make_map_in_pandas_fn(
     merge_rows: bool = True,
     excepted_lines: list[int] | None = None,
     excepted_pages: list[int] | None = None,
+    row_model: str | None = None,
 ):
     """Iterator-style fn for ``DataFrame.mapInPandas`` (Arrow-batched)."""
 
@@ -668,6 +682,7 @@ def make_map_in_pandas_fn(
                 merge_rows=merge_rows,
                 excepted_lines=excepted_lines,
                 excepted_pages=excepted_pages,
+                row_model=row_model,
             )
 
     return fn
@@ -678,6 +693,7 @@ def make_nested_map_in_pandas_fn(
     with_colspans: bool = False,
     excepted_lines: list[int] | None = None,
     excepted_pages: list[int] | None = None,
+    row_model: str | None = None,
 ):
     """mapInPandas fn emitting the nested result-JSON (one row per doc)."""
 
@@ -689,6 +705,7 @@ def make_nested_map_in_pandas_fn(
                 with_colspans=with_colspans,
                 excepted_lines=excepted_lines,
                 excepted_pages=excepted_pages,
+                row_model=row_model,
             )
 
     return fn
@@ -698,6 +715,7 @@ def make_map_in_arrow_fn(
     merge_rows: bool = True,
     excepted_lines: list[int] | None = None,
     excepted_pages: list[int] | None = None,
+    row_model: str | None = None,
 ):
     """Zero-copy-ish fn for ``DataFrame.mapInArrow`` — flattens the
     list<struct> spans column columnar-side, no per-span Python dicts."""
@@ -731,6 +749,7 @@ def make_map_in_arrow_fn(
                 merge_rows=merge_rows,
                 excepted_lines=excepted_lines,
                 excepted_pages=excepted_pages,
+                row_model=row_model,
             )
             # build arrow arrays directly — no pandas on the output path
             yield pa.RecordBatch.from_arrays(

@@ -144,10 +144,14 @@ def extract(
     merge_rows: bool = True,
     excepted_lines: list[int] | None = None,
     excepted_pages: list[int] | None = None,
+    row_model: str | None = None,
 ) -> DataFrame:
     """spans table → extracted span rows (+ per-batch stats rows).
 
     ``merge_rows`` is the reference's use_row_info switch analog;
+    ``row_model`` ("votes" | "anchor" | "none") picks the merge mechanism
+    explicitly — "anchor" is the detected-row J4 analog
+    (PDFTableExtractor2.java:334-380);
     ``excepted_lines``/``excepted_pages`` drop text lines / detected
     regions by per-doc index, negative = from the end (the reference's
     excepted lines/pages config, PDFTableExtractor2.java:93-128)."""
@@ -155,13 +159,16 @@ def extract(
         merge_rows=merge_rows,
         excepted_lines=excepted_lines,
         excepted_pages=excepted_pages,
+        row_model=row_model,
     )
     if use_arrow:
         return df.mapInArrow(make_map_in_arrow_fn(**kw), EXTRACTED_SPANS_DDL)
     return df.mapInPandas(make_map_in_pandas_fn(**kw), EXTRACTED_SPANS_DDL)
 
 
-def extract_grouped(df: DataFrame, merge_rows: bool = True) -> DataFrame:
+def extract_grouped(
+    df: DataFrame, merge_rows: bool = True, row_model: str | None = None
+) -> DataFrame:
     """Alternative execution shape: ``groupBy(doc_id).applyInPandas``.
 
     Semantically identical to ``extract`` (equality-tested); useful when
@@ -172,14 +179,17 @@ def extract_grouped(df: DataFrame, merge_rows: bool = True) -> DataFrame:
     from .extractor.pipeline import extract_pandas_batch
 
     def fn(pdf):
-        out = extract_pandas_batch(pdf, merge_rows=merge_rows)
+        out = extract_pandas_batch(pdf, merge_rows=merge_rows, row_model=row_model)
         return out[out["kind"].isin(DATA_KINDS)]
 
     return df.groupBy("doc_id").applyInPandas(fn, EXTRACTED_SPANS_DDL)
 
 
 def extract_nested(
-    df: DataFrame, merge_rows: bool = True, with_colspans: bool = False
+    df: DataFrame,
+    merge_rows: bool = True,
+    with_colspans: bool = False,
+    row_model: str | None = None,
 ) -> DataFrame:
     """spans table → one row per doc with the reference's result-JSON
     wrapper (S7 sink parity; FIXTURES.md §4). ``with_colspans`` switches
@@ -188,7 +198,9 @@ def extract_nested(
 
     return df.mapInPandas(
         make_nested_map_in_pandas_fn(
-            merge_rows=merge_rows, with_colspans=with_colspans
+            merge_rows=merge_rows,
+            with_colspans=with_colspans,
+            row_model=row_model,
         ),
         "doc_id string, result string",
     )

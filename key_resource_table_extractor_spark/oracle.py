@@ -217,11 +217,24 @@ def extract_document(
     merge_rows: bool = True,
     excepted_lines: list[int] | None = None,
     excepted_pages: list[int] | None = None,
+    row_model: str | None = None,
 ) -> list[tuple]:
     """Full cascade for one doc. spans: (kind, text, media_ref, offset).
 
     ``merge_rows=False`` disables the continuation-merge phase (the
     reference's use_row_info pipeline-A semantics).
+
+    ``row_model`` selects the merge mechanism explicitly:
+    - ``"votes"`` (default when ``merge_rows``): per-column continuation
+      votes, the reference's GPT pair model twin (row_merger.py:60-71);
+    - ``"anchor"``: geometric second row model, the use_row_info/J4 analog
+      (reference PDFTableExtractor2.java:334-380): a detected row starts at
+      every physical row whose FIRST column is non-empty; anchor-less rows
+      fold into the detected row above (the char-space reduction of the
+      enclosure + overlap>=0.7 / >0.5-with-empty-columns rules — in exact
+      character space overlap is binary, and a row lacking its col-0 anchor
+      necessarily has an empty column);
+    - ``"none"``: physical rows emitted as-is.
 
     ``excepted_lines``: indices into the doc's offset-sorted text-line
     sequence to drop BEFORE analysis (as if absent from the document);
@@ -264,15 +277,19 @@ def extract_document(
                 rows.append((ln.offset, cells, ln.is_header))
         if not rows:
             continue
-        # merge phase: vote vs physical predecessor, transitive chase
+        # merge phase: vote/anchor vs physical predecessor, transitive chase
+        mode = row_model or ("votes" if merge_rows else "none")
         groups: list[list[tuple[int, list[str]]]] = []
         for k, (off, cells, is_hdr) in enumerate(rows):
-            if (
-                merge_rows
-                and k > 0
-                and not is_hdr
-                and merge_votes(rows[k - 1][1], cells)
-            ):
+            if mode == "anchor":
+                do_merge = k > 0 and not is_hdr and cells[0] == ""
+            elif mode == "votes":
+                do_merge = (
+                    k > 0 and not is_hdr and merge_votes(rows[k - 1][1], cells)
+                )
+            else:
+                do_merge = False
+            if do_merge:
                 groups[-1].append((off, cells))
             else:
                 groups.append([(off, cells)])

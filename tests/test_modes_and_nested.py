@@ -41,6 +41,44 @@ def flat(out, doc_id="d0"):
     return list(zip(out["kind"], out["text"], out["offset"].astype(int)))
 
 
+ANCHOR_DOC = [
+    ("text", "Key Resources Table", "", 0),
+    ("text", "REAGENT or RESOURCE     SOURCE      IDENTIFIER", "", 1),
+    ("text", "Anti-Foo antibody       Abcam       RRID:AB_123456", "", 2),
+    # anchor-less continuation: col0 empty, other cells Uppercase-start
+    # (votes mode: only 1/3 columns vote -> NO merge; anchor mode: merge)
+    ("text", "                        Lot 7       Batch 9", "", 3),
+    ("text", "Bar protein             Sigma       RRID:SCR_004422", "", 4),
+]
+
+
+def test_anchor_row_model_matches_oracle_and_differs_from_votes():
+    """J4 analog: the anchor (detected-row) model folds anchor-less rows
+    into the row above even when the vote model would not, and both
+    implementations agree in every mode."""
+    for mode in ("anchor", "votes", "none"):
+        out = extract_pandas_batch(pdf_of(ANCHOR_DOC), row_model=mode)
+        exp = [
+            (k, t, o)
+            for (_s, k, t, _m, o) in oracle.extract_document(
+                ANCHOR_DOC, row_model=mode
+            )
+        ]
+        assert flat(out) == exp, mode
+    anchor_texts = [
+        t for _k, t, _o in flat(extract_pandas_batch(pdf_of(ANCHOR_DOC),
+                                                     row_model="anchor"))
+    ]
+    votes_texts = [
+        t for _k, t, _o in flat(extract_pandas_batch(pdf_of(ANCHOR_DOC),
+                                                     row_model="votes"))
+    ]
+    assert "Abcam Lot 7" in anchor_texts  # folded by the anchor model
+    assert "Lot 7" in votes_texts  # vote model keeps the physical row
+    # header rows never merge in any mode
+    assert "REAGENT or RESOURCE" in anchor_texts
+
+
 def test_excepted_lines_and_pages_match_oracle():
     """F2 parity: excepted line/page indices (incl. negative) are honored
     identically by the oracle and the vectorized pipeline."""
