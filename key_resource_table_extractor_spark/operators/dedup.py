@@ -109,6 +109,11 @@ def ngram_jaccard_pairs(
         .select(F.col("doc_id"), F.explode(hashed).alias("h"))
         .distinct()
     )
+    # the (doc_id, h) table feeds four consumers (self-join a/b, sizes,
+    # doc-frequency) and is deliberately NOT persisted: A/B-measured, the
+    # cache write of the largest intermediate costs more than re-shingling
+    # (map-side, codegen) — unlike the tiny band tables below. At warehouse
+    # scale, write the shingle table to storage once and read it back.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     doc_freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     pruned = sh.join(doc_freq.where(F.col("df") <= max_df), "h").select(
@@ -223,6 +228,13 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
         ]
     )
     exploded = sig.select("doc_id", F.posexplode(bands).alias("band", "bval"))
+    # three consumers (bucket sizes + both self-join sides) — materialize
+    # the tiny band table (MINHASH_BANDS rows/doc) once instead of running
+    # the 32-aggregate signature pipeline three times (A/B-measured win;
+    # exchange reuse does not cover the three consumers)
+    from pyspark import StorageLevel
+
+    exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
     # defuse skewed buckets before the self-join
     bucket_sizes = exploded.groupBy("band", "bval").agg(
         F.count(F.lit(1)).alias("bn")
@@ -303,6 +315,12 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     ex = sim.select(
         "doc_id", "simhash", F.posexplode(bands).alias("band", "bval")
     )
+    # three consumers (band sizes + both self-join sides) — materialize the
+    # tiny band table (4 rows/doc) once instead of recomputing the
+    # 64-bit-vote aggregation three times (A/B-measured win)
+    from pyspark import StorageLevel
+
+    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
     # defuse skewed band buckets before the self-join (same guard as the
     # minhash path): templated/short docs collapse to few simhash values,
     # and one hot 16-bit band value would otherwise go quadratic
