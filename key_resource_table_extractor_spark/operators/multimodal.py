@@ -75,5 +75,87 @@ FROM documents ORDER BY doc_id
 """
 
 
-QUERIES = {"media_metadata": q_media_metadata}
-ORACLE = {"media_metadata": SQL_MEDIA_METADATA}
+FRAME_SAMPLE_DDL = (
+    "doc_id bigint, frame_idx int, frame_off int, frame_len int"
+)
+
+MAX_SAMPLED_FRAMES = 4
+
+
+def frame_sample(docs: DataFrame) -> DataFrame:
+    """Video-style frame sampling plumbing: one output row per sampled
+    frame, map-only (payloads never shuffle), deterministic uniform stride.
+
+    The decode step is stubbed (`decode_image_stub`); what is real — and
+    what matters at 100 TB — is the Spark-side shape: a binary payload
+    column fans out to per-frame rows inside `mapInPandas` with bounded
+    Arrow batches, and each frame row carries (offset, length) into the
+    payload instead of a copied slice, so the fan-out adds O(rows) bytes,
+    not O(payload).
+    """
+    payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            meta = fake_decode_meta(pdf)
+            n = meta["n_frames"].to_numpy()
+            nb = meta["n_bytes"].to_numpy()
+            import numpy as np
+
+            k = np.minimum(n, MAX_SAMPLED_FRAMES)
+            reps = k.astype(np.int64)
+            doc = np.repeat(meta["doc_id"].to_numpy(), reps)
+            # uniform stride: frame j of k samples frame floor(j*n/k)
+            j = np.concatenate([np.arange(x) for x in reps]) if len(reps) else np.zeros(0, dtype=np.int64)
+            n_rep = np.repeat(n, reps)
+            nb_rep = np.repeat(nb, reps)
+            idx = (j * n_rep) // np.maximum(np.repeat(k, reps), 1)
+            flen = nb_rep // np.maximum(n_rep, 1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc,
+                    "frame_idx": idx.astype("int32"),
+                    "frame_off": (idx * flen).astype("int32"),
+                    "frame_len": flen.astype("int32"),
+                }
+            )
+
+    return payload.mapInPandas(fn, FRAME_SAMPLE_DDL)
+
+
+def q_media_frame_sample(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return frame_sample(docs).orderBy("doc_id", "frame_idx")
+
+
+SQL_MEDIA_FRAME_SAMPLE = """
+WITH meta AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS INT)            AS n_bytes,
+         CAST(1 + octet_length(encode(text)) % 8 AS INT)    AS n_frames
+  FROM documents
+), k AS (
+  SELECT doc_id, n_bytes, n_frames,
+         LEAST(n_frames, 4) AS n_samp
+  FROM meta
+)
+SELECT doc_id,
+       CAST((j * n_frames) // n_samp AS INT)                      AS frame_idx,
+       CAST(((j * n_frames) // n_samp) * (n_bytes // n_frames) AS INT)
+                                                                  AS frame_off,
+       CAST(n_bytes // n_frames AS INT)                           AS frame_len
+FROM k, UNNEST(range(0, n_samp)) AS t(j)
+ORDER BY doc_id, frame_idx
+"""
+
+
+QUERIES = {
+    "media_metadata": q_media_metadata,
+    "media_frame_sample": q_media_frame_sample,
+}
+ORACLE = {
+    "media_metadata": SQL_MEDIA_METADATA,
+    "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
+}

@@ -172,6 +172,112 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# IVF-bucketed ANN (second scale path; Spark-only)
+# --------------------------------------------------------------------------
+
+IVF_NLIST = 8  # coarse centroids (inverted lists)
+IVF_NPROBE = 5  # lists probed per query
+
+
+def ivf_centroids(emb: DataFrame, nlist: int = IVF_NLIST) -> list:
+    """Deterministic coarse quantizer: the nlist vectors with the smallest
+    xxhash64(vec_id) (seeded sample, stable across partitionings). A tiny
+    driver-side collect (nlist rows) broadcast back into expressions — the
+    GloVe-style small-dim pattern; on 100 TB one k-means refinement pass
+    over a sample would slot in here unchanged."""
+    rows = (
+        emb.select("vec_id", "embedding")
+        .withColumn("hk", F.xxhash64("vec_id"))
+        .orderBy("hk", "vec_id")
+        .limit(nlist)
+        .collect()
+    )
+    return [
+        (cid, [float(x) for x in r["embedding"]])
+        for cid, r in enumerate(rows)
+    ]
+
+
+def _centroid_scores(vec_col, cents) -> "F.Column":
+    """array<struct<cos,cid>> of similarities to every centroid (JVM-side)."""
+    return F.array(
+        *[
+            F.struct(
+                cosine_expr(
+                    vec_col, F.array(*[F.lit(v) for v in c])
+                ).alias("cos"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in cents
+        ]
+    )
+
+
+def ivf_assign_expr(vec_col, cents):
+    """Nearest-centroid id (struct array_max orders by first field)."""
+    return F.array_max(_centroid_scores(vec_col, cents))["cid"]
+
+
+def ivf_probe_expr(vec_col, cents, nprobe: int):
+    """Top-nprobe centroid ids, nearest first."""
+    return F.transform(
+        F.slice(F.reverse(F.array_sort(_centroid_scores(vec_col, cents))),
+                1, nprobe),
+        lambda s: s["cid"],
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-flat ANN: corpus vectors hash-join on their inverted-list id,
+    queries probe their nprobe nearest lists. The shuffle carries only
+    (cid, vec_id, vec) within probed lists — never the full cross join —
+    and queries are broadcast (small side). The second scale path next to
+    the LSH variant; recall-vs-brute-force oracle in tests."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(emb, nlist)
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        ivf_assign_expr(F.col("embedding"), cents).alias("cid"),
+    )
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.explode(
+            ivf_probe_expr(F.col("embedding"), cents, nprobe)
+        ).alias("cid"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand, "cid")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "cand_id",
+            cosine_expr(F.col("qe"), F.col("ce")).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "rk", "cand_id", F.round("cos", 4).alias("cos"))
+        .orderBy("query_id", "rk")
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    return ann_ivf_topk(load(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
 # embedding-cosine near-dup pairs (dedup flavor; DuckDB-oracled)
 # --------------------------------------------------------------------------
 
@@ -208,12 +314,13 @@ ORDER BY id_a, id_b
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
 }
 
 ORACLE = {
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
-    # ann_lsh_topk: LSH bucketing is engine-specific — rows-only check;
-    # recall-vs-brute-force oracle in tests/test_similarity.py
+    # ann_lsh_topk / ann_ivf_topk: bucketing is engine-specific — rows-only
+    # check; recall-vs-brute-force oracles in tests/test_similarity.py
 }

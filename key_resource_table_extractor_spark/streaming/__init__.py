@@ -1,1 +1,5 @@
 from .stream_extract import run_stream_extraction  # noqa: F401
+from .windowed_stats import (  # noqa: F401
+    run_windowed_event_stats,
+    windowed_event_stats,
+)

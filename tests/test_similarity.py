@@ -31,6 +31,49 @@ def test_ann_recall_vs_bruteforce(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.6, recalls
 
 
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    k = 5
+    brute = similarity.cosine_topk(emb, n_queries=10, k=k).collect()
+    ivf = similarity.ann_ivf_topk(emb, n_queries=10, k=k).collect()
+    gold = {}
+    for r in brute:
+        gold.setdefault(r["query_id"], set()).add(r["cand_id"])
+    got = {}
+    for r in ivf:
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+    recalls = [
+        len(gold[q] & got.get(q, set())) / len(gold[q]) for q in gold
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_ivf_assignment_deterministic(spark, emb):
+    """Centroids + assignments are stable across partitionings (pure
+    function of vec_id hashes + vector values)."""
+    c1 = similarity.ivf_centroids(emb)
+    c2 = similarity.ivf_centroids(emb.repartition(7))
+    assert c1 == c2
+    a1 = sorted(
+        (r["vec_id"], r["cid"])
+        for r in emb.select(
+            "vec_id",
+            similarity.ivf_assign_expr(
+                similarity.F.col("embedding"), c1
+            ).alias("cid"),
+        ).collect()
+    )
+    a2 = sorted(
+        (r["vec_id"], r["cid"])
+        for r in emb.repartition(3).select(
+            "vec_id",
+            similarity.ivf_assign_expr(
+                similarity.F.col("embedding"), c1
+            ).alias("cid"),
+        ).collect()
+    )
+    assert a1 == a2
+
+
 def test_bruteforce_topk_self_consistency(spark, emb):
     out = similarity.cosine_topk(emb, n_queries=3, k=4).collect()
     assert len(out) == 12
