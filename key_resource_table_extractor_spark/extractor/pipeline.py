@@ -31,6 +31,12 @@ import pandas as pd
 from .. import spec
 
 _SEG_RE = re.compile(spec.SEGMENT_REGEX)
+
+
+def _seg_re(gap_min_spaces: int):
+    if gap_min_spaces == spec.GAP_MIN_SPACES:
+        return _SEG_RE
+    return re.compile(spec.segment_regex(gap_min_spaces))
 _RRID_PAT = spec.RRID_REGEX
 _KIND_ERROR = "error"
 
@@ -41,7 +47,7 @@ OUTPUT_COLUMNS = ["doc_id", "seq", "kind", "text", "media_ref", "offset"]
 # batch-global vectorized passes
 # --------------------------------------------------------------------------
 
-def _segment_scan(texts: np.ndarray):
+def _segment_scan(texts: np.ndarray, gap_min_spaces: int = spec.GAP_MIN_SPACES):
     """Flat segment arrays for all lines: (line_idx, start, end, text)."""
     seg_line: list[int] = []
     seg_start: list[int] = []
@@ -49,7 +55,7 @@ def _segment_scan(texts: np.ndarray):
     seg_text: list[str] = []
     n_segs = np.zeros(len(texts), dtype=np.int32)
     indent = np.zeros(len(texts), dtype=np.int32)
-    finditer = _SEG_RE.finditer
+    finditer = _seg_re(gap_min_spaces).finditer
     for i, t in enumerate(texts):
         first = True
         cnt = 0
@@ -427,6 +433,7 @@ def extract_columnar(
     excepted_lines: list[int] | None = None,
     excepted_pages: list[int] | None = None,
     row_model: str | None = None,
+    gap_min_spaces: int = spec.GAP_MIN_SPACES,
 ) -> dict:
     """Extraction over flat columnar span arrays for a batch of docs.
     Returns a dict of output columns (lists / numpy arrays), including the
@@ -451,7 +458,9 @@ def extract_columnar(
     li_text_s = pd.Series(li_texts_raw).fillna("").astype(str)
     li_text = li_text_s.to_numpy()
 
-    seg_line, seg_s, seg_e, seg_t, n_segs, indent = _segment_scan(li_text)
+    seg_line, seg_s, seg_e, seg_t, n_segs, indent = _segment_scan(
+        li_text, gap_min_spaces
+    )
     has_rrid, is_header, sect_ok = _line_features(li_doc, li_text_s)
     region_id = _in_table_pass(
         li_doc, n_segs, indent, has_rrid, is_header, sect_ok
@@ -584,6 +593,7 @@ def extract_pandas_batch(
     excepted_lines: list[int] | None = None,
     excepted_pages: list[int] | None = None,
     row_model: str | None = None,
+    gap_min_spaces: int = spec.GAP_MIN_SPACES,
 ) -> pd.DataFrame:
     """Extraction over a ``(doc_id, spans)`` pandas batch (mapInPandas)."""
     if len(pdf) == 0:
@@ -598,6 +608,7 @@ def extract_pandas_batch(
             excepted_lines=excepted_lines,
             excepted_pages=excepted_pages,
             row_model=row_model,
+            gap_min_spaces=gap_min_spaces,
         )
     )
 
@@ -609,6 +620,7 @@ def extract_nested_batch(
     excepted_lines: list[int] | None = None,
     excepted_pages: list[int] | None = None,
     row_model: str | None = None,
+    gap_min_spaces: int = spec.GAP_MIN_SPACES,
 ) -> pd.DataFrame:
     """One row per doc: the reference's result-JSON wrapper
     ``{"paper_id": ..., "result": {"pages": [{"page": N, "tables":
@@ -629,6 +641,7 @@ def extract_nested_batch(
         excepted_lines=excepted_lines,
         excepted_pages=excepted_pages,
         row_model=row_model,
+        gap_min_spaces=gap_min_spaces,
     )
     docs: dict[str, dict] = {}
     fullspan: dict[tuple, bool] = {}
@@ -672,6 +685,7 @@ def make_map_in_pandas_fn(
     excepted_lines: list[int] | None = None,
     excepted_pages: list[int] | None = None,
     row_model: str | None = None,
+    gap_min_spaces: int = spec.GAP_MIN_SPACES,
 ):
     """Iterator-style fn for ``DataFrame.mapInPandas`` (Arrow-batched)."""
 
@@ -683,6 +697,7 @@ def make_map_in_pandas_fn(
                 excepted_lines=excepted_lines,
                 excepted_pages=excepted_pages,
                 row_model=row_model,
+                gap_min_spaces=gap_min_spaces,
             )
 
     return fn
@@ -694,6 +709,7 @@ def make_nested_map_in_pandas_fn(
     excepted_lines: list[int] | None = None,
     excepted_pages: list[int] | None = None,
     row_model: str | None = None,
+    gap_min_spaces: int = spec.GAP_MIN_SPACES,
 ):
     """mapInPandas fn emitting the nested result-JSON (one row per doc)."""
 
@@ -706,6 +722,7 @@ def make_nested_map_in_pandas_fn(
                 excepted_lines=excepted_lines,
                 excepted_pages=excepted_pages,
                 row_model=row_model,
+                gap_min_spaces=gap_min_spaces,
             )
 
     return fn
@@ -716,6 +733,7 @@ def make_map_in_arrow_fn(
     excepted_lines: list[int] | None = None,
     excepted_pages: list[int] | None = None,
     row_model: str | None = None,
+    gap_min_spaces: int = spec.GAP_MIN_SPACES,
 ):
     """Zero-copy-ish fn for ``DataFrame.mapInArrow`` — flattens the
     list<struct> spans column columnar-side, no per-span Python dicts."""
@@ -750,6 +768,7 @@ def make_map_in_arrow_fn(
                 excepted_lines=excepted_lines,
                 excepted_pages=excepted_pages,
                 row_model=row_model,
+                gap_min_spaces=gap_min_spaces,
             )
             # build arrow arrays directly — no pandas on the output path
             yield pa.RecordBatch.from_arrays(

@@ -145,6 +145,7 @@ def extract(
     excepted_lines: list[int] | None = None,
     excepted_pages: list[int] | None = None,
     row_model: str | None = None,
+    gap_min_spaces: int | None = None,
 ) -> DataFrame:
     """spans table → extracted span rows (+ per-batch stats rows).
 
@@ -155,11 +156,14 @@ def extract(
     ``excepted_lines``/``excepted_pages`` drop text lines / detected
     regions by per-doc index, negative = from the end (the reference's
     excepted lines/pages config, PDFTableExtractor2.java:93-128)."""
+    from . import spec
+
     kw = dict(
         merge_rows=merge_rows,
         excepted_lines=excepted_lines,
         excepted_pages=excepted_pages,
         row_model=row_model,
+        gap_min_spaces=gap_min_spaces or spec.GAP_MIN_SPACES,
     )
     if use_arrow:
         return df.mapInArrow(make_map_in_arrow_fn(**kw), EXTRACTED_SPANS_DDL)

@@ -16,10 +16,16 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 from . import spec
 
 _GAP_RE = re.compile(spec.GAP_REGEX)
+
+
+@lru_cache(maxsize=8)
+def _gap_re(min_spaces: int):
+    return re.compile(spec.gap_regex(min_spaces))
 _RRID_RE = re.compile(spec.RRID_REGEX)
 _HEADER_WORD_RES = [re.compile(r"\b%s\b" % kw) for kw in spec.HEADER_KEYWORDS]
 
@@ -48,11 +54,16 @@ class Line:
         return self.segs[0][0] if self.segs else 0
 
 
-def split_segments(text: str) -> list[tuple[int, int, str]]:
+def split_segments(
+    text: str, gap_min_spaces: int = spec.GAP_MIN_SPACES
+) -> list[tuple[int, int, str]]:
     """Maximal runs of text between column gaps, with char positions."""
+    gap_re = _GAP_RE if gap_min_spaces == spec.GAP_MIN_SPACES else _gap_re(
+        gap_min_spaces
+    )
     segs = []
     pos = 0
-    for m in _GAP_RE.finditer(text):
+    for m in gap_re.finditer(text):
         chunk = text[pos : m.start()]
         if chunk.strip():
             s = pos + (len(chunk) - len(chunk.lstrip()))
@@ -82,13 +93,16 @@ def is_header_line(text: str) -> bool:
     return hits >= spec.HEADER_MIN_KEYWORDS
 
 
-def analyze_lines(spans: list[tuple]) -> list[Line]:
+def analyze_lines(
+    spans: list[tuple], gap_min_spaces: int = spec.GAP_MIN_SPACES
+) -> list[Line]:
     """Feature pass over the text spans of one doc (offset-sorted)."""
     lines: list[Line] = []
     for kind, text, media_ref, offset in spans:
         if kind != spec.KIND_TEXT:
             continue
-        ln = Line(offset=offset, text=text, segs=split_segments(text))
+        ln = Line(offset=offset, text=text,
+                  segs=split_segments(text, gap_min_spaces))
         ln.has_rrid = bool(_RRID_RE.search(text))
         ln.is_header = is_header_line(text)
         lines.append(ln)
@@ -218,6 +232,7 @@ def extract_document(
     excepted_lines: list[int] | None = None,
     excepted_pages: list[int] | None = None,
     row_model: str | None = None,
+    gap_min_spaces: int = spec.GAP_MIN_SPACES,
 ) -> list[tuple]:
     """Full cascade for one doc. spans: (kind, text, media_ref, offset).
 
@@ -250,7 +265,7 @@ def extract_document(
             for j in _normalize_excepted(excepted_lines, len(text_pos))
         }
         spans = [s for i, s in enumerate(spans) if i not in drop]
-    lines = analyze_lines(spans)
+    lines = analyze_lines(spans, gap_min_spaces)
     regions = find_regions(lines)
     if excepted_pages:
         excl = _normalize_excepted(excepted_pages, len(regions))

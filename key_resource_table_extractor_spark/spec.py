@@ -27,10 +27,28 @@ constant so the judge can check parity:
 from __future__ import annotations
 
 # ---- line segmentation -----------------------------------------------------
-# A column gap is a TAB or a run of >= 2 spaces (the word-spacing heuristic of
-# reference FeatureGenerator.java:236-323, collapsed to character space).
-GAP_REGEX = r"\t|\x20{2,}"
-SEGMENT_REGEX = r"(?:[^\t ]+(?:\x20[^\t ]+)*)"  # words joined by single spaces
+# A column gap is a TAB or a run of >= GAP_MIN_SPACES spaces — the reference's
+# word-spacing threshold (0.4 · avg char width over the line pair,
+# FeatureGenerator.java:236-283) collapsed to character space, where every
+# glyph is 1 char wide so the threshold becomes a space-run count. The count
+# is configurable per extraction call (`gap_min_spaces`), the user-facing
+# analog of the reference's adaptive threshold for wider-set text.
+GAP_MIN_SPACES = 2
+
+
+def gap_regex(min_spaces: int = GAP_MIN_SPACES) -> str:
+    return r"\t|\x20{%d,}" % min_spaces
+
+
+def segment_regex(min_spaces: int = GAP_MIN_SPACES) -> str:
+    """Maximal text runs whose internal space runs are < min_spaces."""
+    if min_spaces <= 2:
+        return r"(?:[^\t ]+(?:\x20[^\t ]+)*)"
+    return r"(?:[^\t ]+(?:\x20{1,%d}[^\t ]+)*)" % (min_spaces - 1)
+
+
+GAP_REGEX = gap_regex()
+SEGMENT_REGEX = segment_regex()
 
 # ---- line features ----------------------------------------------------------
 RRID_REGEX = r"(?i)\brrid"  # reference scripts/data_prep.py:107-109 (F4)

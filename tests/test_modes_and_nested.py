@@ -41,6 +41,39 @@ def flat(out, doc_id="d0"):
     return list(zip(out["kind"], out["text"], out["offset"].astype(int)))
 
 
+def test_gap_min_spaces_matches_oracle_and_changes_segmentation():
+    """A12 knob: the word-spacing threshold (space-run length that counts
+    as a column gap) is configurable and honored identically by both
+    implementations. 'Anti-Foo  antibody' splits at the default threshold
+    (2 spaces) but stays one cell at gap_min_spaces=3."""
+    doc = [
+        ("text", "Key Resources Table", "", 0),
+        ("text", "REAGENT or RESOURCE     SOURCE      IDENTIFIER", "", 1),
+        ("text", "Anti-Foo  antibody      Abcam       RRID:AB_123456", "", 2),
+        ("text", "Bar protein             Sigma       RRID:SCR_004422", "", 3),
+    ]
+    for g in (2, 3):
+        out = extract_pandas_batch(pdf_of(doc), gap_min_spaces=g)
+        exp = [
+            (k, t, o)
+            for (_s, k, t, _m, o) in oracle.extract_document(
+                doc, gap_min_spaces=g
+            )
+        ]
+        assert flat(out) == exp, g
+    default_texts = [t for _k, t, _o in flat(extract_pandas_batch(pdf_of(doc)))]
+    wide_texts = [
+        t for _k, t, _o in flat(
+            extract_pandas_batch(pdf_of(doc), gap_min_spaces=3)
+        )
+    ]
+    # default: the 2-space run splits the cell, then max-overlap assignment
+    # rejoins the parts in column 0 — but a 3-space threshold keeps the
+    # original single-segment reading
+    assert "Anti-Foo antibody" in default_texts  # split + rejoined with ' '
+    assert "Anti-Foo  antibody" in wide_texts  # untouched (one segment)
+
+
 ANCHOR_DOC = [
     ("text", "Key Resources Table", "", 0),
     ("text", "REAGENT or RESOURCE     SOURCE      IDENTIFIER", "", 1),
