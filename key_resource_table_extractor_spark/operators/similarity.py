@@ -199,17 +199,28 @@ def ivf_centroids(emb: DataFrame, nlist: int = IVF_NLIST) -> list:
 
 
 def _centroid_scores(vec_col, cents) -> "F.Column":
-    """array<struct<cos,cid>> of similarities to every centroid (JVM-side)."""
-    return F.array(
-        *[
-            F.struct(
-                cosine_expr(
-                    vec_col, F.array(*[F.lit(v) for v in c])
-                ).alias("cos"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, c in cents
-        ]
+    """array<struct<score,cid>> ranking centroids by cosine (JVM-side).
+
+    Two expression-size tricks (planning/codegen cost, not data cost):
+    - centroids are unit-normalized driver-side, and the row vector's own
+      norm is a positive per-row constant, so ordering by the raw dot
+      against unit centroids equals ordering by cosine — no norms in the
+      expression;
+    - all centroids live in ONE literal array<array<double>> traversed
+      with F.transform, instead of one literal tree per centroid — the
+      whole scorer is a single bounded expression regardless of nlist."""
+    unit = []
+    for _cid, c in cents:  # cid == position by construction
+        nrm = sum(x * x for x in c) ** 0.5 or 1.0
+        unit.append([x / nrm for x in c])
+    cent_lit = F.array(
+        *[F.array(*[F.lit(v) for v in c]) for c in unit]
+    )
+    return F.transform(
+        cent_lit,
+        lambda c, i: F.struct(
+            _dot(vec_col, c).alias("score"), i.alias("cid")
+        ),
     )
 
 
