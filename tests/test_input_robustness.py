@@ -51,3 +51,49 @@ def test_empty_batch():
         "doc_id", "seq", "kind", "text", "media_ref", "offset",
     ]
     assert len(out) == 0
+
+
+def test_sliced_list_array_in_arrow_path():
+    """A RecordBatch whose spans ListArray is a nonzero-offset slice must
+    not misalign span_doc with the child value arrays (the child of a
+    sliced ListArray still holds the FULL values buffer)."""
+    import pyarrow as pa
+
+    from key_resource_table_extractor_spark import oracle
+    from key_resource_table_extractor_spark.extractor.pipeline import (
+        make_map_in_arrow_fn,
+    )
+
+    span_t = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    decoy = [
+        {"kind": "text", "text": "decoy line", "media_ref": "", "offset": 0}
+    ]
+    full = pa.table(
+        {
+            "doc_id": pa.array(["skip0", "skip1", "keep"]),
+            "spans": pa.array([decoy, decoy + decoy, GOOD], pa.list_(span_t)),
+        }
+    )
+    sliced = full.slice(2)  # ListArray with offset 2 — child keeps decoys
+    batch = sliced.combine_chunks().to_batches()[0]
+    assert batch.column("spans").offset != 0  # the regression precondition
+    out = list(make_map_in_arrow_fn()([batch]))
+    assert len(out) == 1
+    rows = out[0].to_pydict()
+    got = [
+        (k, t, o)
+        for k, t, o, d in zip(rows["kind"], rows["text"], rows["offset"],
+                              rows["doc_id"])
+        if d == "keep" and k in ("text", "media")
+    ]
+    exp = [
+        (k, t, o)
+        for (_s, k, t, _m, o) in oracle.extract_document(
+            [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in GOOD]
+        )
+    ]
+    assert got == exp and got, (got, exp)
+    assert not any("decoy" in t for t in rows["text"])
