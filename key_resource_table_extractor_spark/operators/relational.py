@@ -755,12 +755,32 @@ GROUP BY lang ORDER BY lang
 # best-match (row_number) — reference GROBID↔GS matcher analog
 # --------------------------------------------------------------------------
 
-def q_similarity_match_join(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+def similarity_match_join(docs, max_word_df: int | None = None):
+    """Bag-of-words coverage theta join with greedy best-match (J7).
+
+    Words are hashed to int64 map-side — the join shuffle carries (bigint,
+    doc_id) pairs, never word text (the DuckDB oracle joins on text;
+    results identical modulo 64-bit collisions).
+
+    ``max_word_df`` is the web-scale stop-word guard (same class as
+    ``dedup.MAX_SHINGLE_DF``): a word in k docs yields k² join rows, so at
+    100 TB pass e.g. ``max_word_df=10_000``. It defaults to None because a
+    meaningful threshold is corpus-relative — the driver fixture draws
+    from a ~31-word vocabulary where every word is in >1/3 of all docs, so
+    ANY useful absolute cap would zero the fixture. Coverage denominators
+    always use the FULL per-doc word count, so surviving pairs score
+    identically with or without the cap.
+    """
     words = docs.select(
         "doc_id",
         "source",
-        F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("w"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.split(F.trim("text"), r"\s+"), lambda w: F.xxhash64(w)
+                )
+            )
+        ).alias("w"),
     )
     left = words.where(F.col("source") == "src0").select(
         F.col("doc_id").alias("id_a"), "w"
@@ -769,8 +789,18 @@ def q_similarity_match_join(spark, sf_dir):
         F.col("doc_id").alias("id_b"), "w"
     )
     sizes_a = left.groupBy("id_a").agg(F.count(F.lit(1)).alias("na"))
+    jl, jr = left, right
+    if max_word_df is not None:
+        kept = (
+            words.groupBy("w")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .where(F.col("df") <= max_word_df)
+            .select("w")
+        )
+        jl = jl.join(kept, "w")
+        jr = jr.join(kept, "w")
     shared = (
-        left.join(right, "w")
+        jl.join(jr, "w")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -792,6 +822,10 @@ def q_similarity_match_join(spark, sf_dir):
         .select("id_a", "id_b", "coverage")
         .orderBy("id_a")
     )
+
+
+def q_similarity_match_join(spark, sf_dir):
+    return similarity_match_join(load(spark, sf_dir, "documents"))
 
 
 SQL_SIMILARITY_MATCH_JOIN = """

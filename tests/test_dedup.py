@@ -117,6 +117,34 @@ def test_simhash_hot_band_guard(spark):
     assert all(a >= 2000 for a, _b in found), sorted(found)[:5]
 
 
+def test_similarity_match_word_df_cap(spark):
+    """J7 guard: with max_word_df, a stop word shared by every doc cannot
+    drive the coverage join quadratic; matches via rare words survive."""
+    from key_resource_table_extractor_spark.operators.relational import (
+        similarity_match_join,
+    )
+
+    rows = []
+    for i in range(120):
+        src = "src0" if i % 2 == 0 else "src1"
+        rows.append((i, src, f"common unique{i}"))  # na=2, stop-word cov 0.5
+    rows.append((500, "src0", "alpha beta gamma delta"))
+    rows.append((501, "src1", "alpha beta gamma epsilon"))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in similarity_match_join(docs).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in similarity_match_join(docs, max_word_df=50).collect()
+    }
+    assert len(uncapped) > 50  # the stop word matches every src0 doc
+    assert capped == {(500, 501)}, capped
+
+
 def test_minhash_signature_stability(spark, docs):
     """Signatures are deterministic across runs/partitionings."""
     s1 = {
