@@ -5,8 +5,9 @@ deterministic spans corpus derived from the sf0.001 documents table.
 ``queries()``/``oracle_sql()`` expose the SURVEY.md §2 operator inventory
 (relational/window/interval/dedup/similarity/text/multimodal) checked
 against DuckDB; non-SQL-expressible ops (the extraction cascade itself,
-MinHash/SimHash/LSH with engine-specific hashes) are rows-only and carry
-semantic oracles in tests/.
+MinHash/SimHash/LSH/IVF with engine-specific hashes and bucketing, and
+sketch aggregates) are rows-only and carry semantic pytest oracles
+(planted duplicates, recall-vs-brute-force, tolerance-vs-exact).
 """
 
 from __future__ import annotations

@@ -52,6 +52,50 @@ FROM t GROUP BY lang ORDER BY lang
 
 
 # --------------------------------------------------------------------------
+# subword (BPE-ish) token counting — the GPT-2-style pretokenizer split
+# (contractions | space-prefixed letter runs | digit runs | punct runs),
+# lookahead-free so the Java-regex (Spark) and RE2 (DuckDB) engines agree.
+# Token budgeting for LLM training data counts subwords, not words.
+# --------------------------------------------------------------------------
+
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def q_subword_token_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    sub = F.regexp_count(F.lower(F.col("text")), F.lit(_BPE_PAT))
+    ws = _tokens()
+    return (
+        docs.select("lang", sub.alias("n_sub"), ws.alias("n_ws"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_sub").cast("bigint").alias("total_subwords"),
+            F.round(F.avg("n_sub"), 4).alias("avg_subwords"),
+            # fertility: subword tokens per whitespace word (tokenizer
+            # quality signal in training-data pipelines)
+            F.round(F.sum("n_sub") / F.sum("n_ws"), 4).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_SUBWORD_TOKEN_STATS = """
+WITH t AS (
+  SELECT lang,
+         len(regexp_extract_all(lower(text),
+             '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+'))
+           AS n_sub,
+         len(string_split_regex(trim(text), '\\s+')) AS n_ws
+  FROM documents
+)
+SELECT lang, CAST(sum(n_sub) AS BIGINT) AS total_subwords,
+       round(avg(n_sub), 4) AS avg_subwords,
+       round(CAST(sum(n_sub) AS DOUBLE) / sum(n_ws), 4) AS fertility
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
 
 def q_quality_scores_by_source(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
@@ -146,6 +190,7 @@ FROM f GROUP BY source ORDER BY source
 
 QUERIES = {
     "token_counts_by_lang": q_token_counts_by_lang,
+    "subword_token_stats": q_subword_token_stats,
     "quality_scores_by_source": q_quality_scores_by_source,
     "lang_guess_confusion": q_lang_guess_confusion,
     "doc_fingerprints": q_doc_fingerprints,
@@ -153,6 +198,7 @@ QUERIES = {
 
 ORACLE = {
     "token_counts_by_lang": SQL_TOKEN_COUNTS_BY_LANG,
+    "subword_token_stats": SQL_SUBWORD_TOKEN_STATS,
     "quality_scores_by_source": SQL_QUALITY_SCORES_BY_SOURCE,
     "lang_guess_confusion": SQL_LANG_GUESS_CONFUSION,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
