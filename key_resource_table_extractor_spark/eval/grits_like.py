@@ -26,8 +26,6 @@ from __future__ import annotations
 
 from difflib import SequenceMatcher
 
-_PAD = object()  # alignment padding — scores 0 against everything
-
 
 def _cell_content(cell) -> str:
     if isinstance(cell, dict):
@@ -42,8 +40,6 @@ def _cell_colspan(cell) -> int:
 
 
 def _cell_sim(a, b) -> float:
-    if a is _PAD or b is _PAD:
-        return 0.0
     a, b = _cell_content(a), _cell_content(b)
     if a == b:
         return 1.0
@@ -71,24 +67,22 @@ def _col_extents(row) -> list[tuple[int, int]]:
     return out
 
 
-def _topo_sim(cell_a, ext_a, cell_b, ext_b) -> float:
+def _topo_sim(ext_a, ext_b) -> float:
     """IoU of the two cells' column extents (rowspans are not modeled in
     the span-space rebuild: every cell is one logical row tall)."""
-    if cell_a is _PAD or cell_b is _PAD:
-        return 0.0
     return _iou_1d(ext_a[0], ext_a[1], ext_b[0], ext_b[1])
 
 
 def _row_sim(ra: list, rb: list, topology: bool = False) -> float:
-    """Aligned-column similarity. Positions beyond a row's own cells are
-    alignment padding and score 0 (they carry no mass on either side)."""
+    """Aligned-column similarity over the shared prefix: positions beyond
+    a row's own cells carry no gain (and no mass on either side)."""
     na, nb = len(ra), len(rb)
     if topology:
         ea, eb = _col_extents(ra), _col_extents(rb)
     total = 0.0
     for c in range(min(na, nb)):
         if topology:
-            total += _topo_sim(ra[c], ea[c], rb[c], eb[c])
+            total += _topo_sim(ea[c], eb[c])
         else:
             total += _cell_sim(ra[c], rb[c])
     return total

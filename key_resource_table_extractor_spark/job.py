@@ -163,7 +163,9 @@ def extract(
         excepted_lines=excepted_lines,
         excepted_pages=excepted_pages,
         row_model=row_model,
-        gap_min_spaces=gap_min_spaces or spec.GAP_MIN_SPACES,
+        gap_min_spaces=(
+            spec.GAP_MIN_SPACES if gap_min_spaces is None else gap_min_spaces
+        ),
     )
     if use_arrow:
         return df.mapInArrow(make_map_in_arrow_fn(**kw), EXTRACTED_SPANS_DDL)
@@ -171,7 +173,12 @@ def extract(
 
 
 def extract_grouped(
-    df: DataFrame, merge_rows: bool = True, row_model: str | None = None
+    df: DataFrame,
+    merge_rows: bool = True,
+    row_model: str | None = None,
+    excepted_lines: list[int] | None = None,
+    excepted_pages: list[int] | None = None,
+    gap_min_spaces: int | None = None,
 ) -> DataFrame:
     """Alternative execution shape: ``groupBy(doc_id).applyInPandas``.
 
@@ -182,8 +189,20 @@ def extract_grouped(
     """
     from .extractor.pipeline import extract_pandas_batch
 
+    from . import spec
+
     def fn(pdf):
-        out = extract_pandas_batch(pdf, merge_rows=merge_rows, row_model=row_model)
+        out = extract_pandas_batch(
+            pdf,
+            merge_rows=merge_rows,
+            row_model=row_model,
+            excepted_lines=excepted_lines,
+            excepted_pages=excepted_pages,
+            gap_min_spaces=(
+                spec.GAP_MIN_SPACES if gap_min_spaces is None
+                else gap_min_spaces
+            ),
+        )
         return out[out["kind"].isin(DATA_KINDS)]
 
     return df.groupBy("doc_id").applyInPandas(fn, EXTRACTED_SPANS_DDL)
@@ -194,10 +213,14 @@ def extract_nested(
     merge_rows: bool = True,
     with_colspans: bool = False,
     row_model: str | None = None,
+    excepted_lines: list[int] | None = None,
+    excepted_pages: list[int] | None = None,
+    gap_min_spaces: int | None = None,
 ) -> DataFrame:
     """spans table → one row per doc with the reference's result-JSON
     wrapper (S7 sink parity; FIXTURES.md §4). ``with_colspans`` switches
     cells to the gold-JSON ``{"content", "colspan"}`` shape."""
+    from . import spec
     from .extractor.pipeline import make_nested_map_in_pandas_fn
 
     return df.mapInPandas(
@@ -205,6 +228,12 @@ def extract_nested(
             merge_rows=merge_rows,
             with_colspans=with_colspans,
             row_model=row_model,
+            excepted_lines=excepted_lines,
+            excepted_pages=excepted_pages,
+            gap_min_spaces=(
+                spec.GAP_MIN_SPACES if gap_min_spaces is None
+                else gap_min_spaces
+            ),
         ),
         "doc_id string, result string",
     )
@@ -221,7 +250,14 @@ def data_spans(out: DataFrame) -> DataFrame:
 
 def _read_checkpoint(spark: SparkSession, checkpoint_path: str):
     try:
-        return spark.read.parquet(checkpoint_path)
+        # recursive: checkpoint rows live in per-write subdirectories so M
+        # concurrent shard drivers never share a FileOutputCommitter
+        # staging dir (concurrent appends to ONE parquet dir can clobber
+        # each other's _temporary staging)
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(checkpoint_path)
+        )
     except Exception:
         return None
 
@@ -259,6 +295,8 @@ def run_extraction(
     buckets: list[int] | None = None,
     excepted_lines: list[int] | None = None,
     excepted_pages: list[int] | None = None,
+    row_model: str | None = None,
+    gap_min_spaces: int | None = None,
 ) -> dict:
     """Run (or resume) the extraction over ``input_df``.
 
@@ -308,6 +346,8 @@ def run_extraction(
             use_arrow=use_arrow,
             excepted_lines=excepted_lines,
             excepted_pages=excepted_pages,
+            row_model=row_model,
+            gap_min_spaces=gap_min_spaces,
         )
         obs = Observation(f"krt_{run_id}_{b}_{uuid.uuid4().hex[:6]}")
         out = out.observe(
@@ -337,8 +377,12 @@ def run_extraction(
             "run_id string, bucket int, doc_id_min string, doc_id_max string,"
             " n_docs long, n_spans_in long, n_spans_out long, n_tables long,"
             " n_errors long, wall_ms long, status string",
-        ).withColumn("ts", F.current_timestamp()).write.mode("append").parquet(
-            checkpoint_path
+        ).withColumn("ts", F.current_timestamp()).write.mode(
+            "overwrite"
+        ).parquet(
+            # one subdirectory per checkpoint write: concurrent shard
+            # drivers touch disjoint paths (see _read_checkpoint)
+            f"{checkpoint_path}/cpw={run_id}_{b}_{uuid.uuid4().hex[:8]}"
         )
         summary["buckets_run"] += 1
         if fail_after_bucket is not None and b >= fail_after_bucket:

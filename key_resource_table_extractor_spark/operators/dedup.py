@@ -30,6 +30,25 @@ MAX_SHINGLE_DF = 50  # drop stop-shingles present in more docs than this:
 # a shingle in k docs yields k^2 join rows — at web scale a boilerplate
 # shingle ("all rights reserved ...") would otherwise dominate the shuffle
 
+# one live cached band table per operator: repeated invocations in a long
+# session (bench best-of-N, the query gate) would otherwise accumulate
+# cached copies for the session lifetime
+_live_cache: dict[str, object] = {}
+
+
+def _persist_bounded(key: str, df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    prev = _live_cache.get(key)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _live_cache[key] = df
+    return df
+
 
 def _words(col="text"):
     return F.split(F.trim(F.col(col)), r"\s+")
@@ -232,9 +251,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
     # the tiny band table (MINHASH_BANDS rows/doc) once instead of running
     # the 32-aggregate signature pipeline three times (A/B-measured win;
     # exchange reuse does not cover the three consumers)
-    from pyspark import StorageLevel
-
-    exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+    exploded = _persist_bounded("minhash_bands", exploded)
     # defuse skewed buckets before the self-join
     bucket_sizes = exploded.groupBy("band", "bval").agg(
         F.count(F.lit(1)).alias("bn")
@@ -318,9 +335,7 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     # three consumers (band sizes + both self-join sides) — materialize the
     # tiny band table (4 rows/doc) once instead of recomputing the
     # 64-bit-vote aggregation three times (A/B-measured win)
-    from pyspark import StorageLevel
-
-    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    ex = _persist_bounded("simhash_bands", ex)
     # defuse skewed band buckets before the self-join (same guard as the
     # minhash path): templated/short docs collapse to few simhash values,
     # and one hot 16-bit band value would otherwise go quadratic

@@ -51,12 +51,29 @@ class _TableParser(HTMLParser):
         self._cell: dict | None = None
         self._text: list[str] = []
 
+    def _flush_cell(self):
+        if self._cell is not None:
+            self._cell["content"] = unescape("".join(self._text)).strip()
+            self._row.append(self._cell)
+            self._cell = None
+
+    def _flush_row(self):
+        self._flush_cell()
+        if self._row is not None:
+            if self._row:
+                self._rows.append(self._row)
+            self._row = None
+
     def handle_starttag(self, tag, attrs):
+        # HTML5 allows omitting </td>/</th>/</tr>: a new cell or row start
+        # implicitly closes the open one — flush instead of dropping it
         if tag == "table":
             self._rows = []
         elif tag == "tr" and self._rows is not None:
+            self._flush_row()
             self._row = []
         elif tag in ("td", "th") and self._row is not None:
+            self._flush_cell()
             a = dict(attrs)
             self._cell = {
                 "content": "",
@@ -67,15 +84,12 @@ class _TableParser(HTMLParser):
             self._text = []
 
     def handle_endtag(self, tag):
-        if tag in ("td", "th") and self._cell is not None:
-            self._cell["content"] = unescape("".join(self._text)).strip()
-            self._row.append(self._cell)
-            self._cell = None
-        elif tag == "tr" and self._row is not None:
-            if self._row:
-                self._rows.append(self._row)
-            self._row = None
+        if tag in ("td", "th"):
+            self._flush_cell()
+        elif tag == "tr":
+            self._flush_row()
         elif tag == "table" and self._rows is not None:
+            self._flush_row()
             self.tables.append({"rows": self._rows})
             self._rows = None
 

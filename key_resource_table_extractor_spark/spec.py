@@ -37,12 +37,18 @@ GAP_MIN_SPACES = 2
 
 
 def gap_regex(min_spaces: int = GAP_MIN_SPACES) -> str:
+    if min_spaces < 1:
+        raise ValueError("gap_min_spaces must be >= 1")
     return r"\t|\x20{%d,}" % min_spaces
 
 
 def segment_regex(min_spaces: int = GAP_MIN_SPACES) -> str:
     """Maximal text runs whose internal space runs are < min_spaces."""
-    if min_spaces <= 2:
+    if min_spaces < 1:
+        raise ValueError("gap_min_spaces must be >= 1")
+    if min_spaces == 1:  # every space is a gap — segments are plain words
+        return r"(?:[^\t ]+)"
+    if min_spaces == 2:
         return r"(?:[^\t ]+(?:\x20[^\t ]+)*)"
     return r"(?:[^\t ]+(?:\x20{1,%d}[^\t ]+)*)" % (min_spaces - 1)
 

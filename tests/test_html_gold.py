@@ -53,6 +53,24 @@ def test_entities_and_th_cells():
     assert rows[1][0] == ("z", 1, 2)
 
 
+def test_implied_end_tags():
+    """HTML5 allows omitting </td>/</tr>: a new cell/row start implicitly
+    closes the open one — no cells or rows may be silently dropped."""
+    markup = (
+        "<table><tr><td>a<td>b</tr>"
+        "<tr><td>c<td colspan='2'>d"
+        "<tr><td>e</td><td>f</table>"
+    )
+    tables = html_to_gold_tables(markup, name="t")
+    assert len(tables) == 1
+    rows = _norm(tables[0])
+    assert rows == [
+        [("a", 1, 1), ("b", 1, 1)],
+        [("c", 1, 1), ("d", 2, 1)],
+        [("e", 1, 1), ("f", 1, 1)],
+    ], rows
+
+
 @pytest.mark.skipif(
     not os.path.isdir(GOLD_DIR), reason="reference gold data not available"
 )

@@ -52,7 +52,7 @@ def test_gap_min_spaces_matches_oracle_and_changes_segmentation():
         ("text", "Anti-Foo  antibody      Abcam       RRID:AB_123456", "", 2),
         ("text", "Bar protein             Sigma       RRID:SCR_004422", "", 3),
     ]
-    for g in (2, 3):
+    for g in (1, 2, 3, 4):
         out = extract_pandas_batch(pdf_of(doc), gap_min_spaces=g)
         exp = [
             (k, t, o)
