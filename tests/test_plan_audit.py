@@ -37,6 +37,23 @@ def test_anti_join_prunes_columns(spark):
     assert "l_returnflag" in cols
 
 
+def test_similarity_join_key_is_hashed(spark):
+    """similarity_match_join's coverage join must key on the int64 word
+    hash — no string word column in any join key."""
+    from key_resource_table_extractor_spark.plans.audit import explain_str
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = explain_str(relational.similarity_match_join(docs))
+    key_lines = [
+        ln.strip() for ln in plan.splitlines()
+        if ln.strip().startswith(("Left keys", "Right keys"))
+    ]
+    w_key_lines = [ln for ln in key_lines if "[w#" in ln]
+    assert w_key_lines, key_lines
+    # the w join key is the xxhash64 output (bigint 'L' suffix), not text
+    assert all("L]" in ln or "L," in ln for ln in w_key_lines), w_key_lines
+
+
 def test_ngram_self_join_shuffles_hashes_not_text(spark):
     """The near-dup self-join key must be the int64 shingle hash: the
     exchange before the join carries (h, doc_id), never shingle strings."""
