@@ -13,7 +13,7 @@ aggregation, tiny shuffle of group keys.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from .common import load
 
@@ -136,6 +136,83 @@ FROM scored GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# curated_corpus — the end-to-end training-data materializer: quality gate
+# (length / token-count / stopword-ratio thresholds) then exact dedup
+# (min-doc_id keeper per content fingerprint). The canonical composition a
+# curation pipeline runs before tokenization; at 100 TB both stages are a
+# map-side filter plus one short-key (md5) shuffle.
+# --------------------------------------------------------------------------
+
+MIN_DOC_TOKENS = 5
+MIN_DOC_CHARS = 30
+MIN_STOP_RATIO = 0.05  # English-ish prose signal; pure keyword-spam drops
+
+
+def curated_corpus(docs):
+    """Kept (doc_id, lang) rows after the quality gate + exact dedup."""
+    stop = F.regexp_count(F.lower(F.col("text")), F.lit(_STOPWORDS_PAT))
+    good = docs.where(
+        (_tokens() >= MIN_DOC_TOKENS)
+        & (F.length("text") >= MIN_DOC_CHARS)
+        & ((stop / _tokens()) >= MIN_STOP_RATIO)
+    )
+    fp = F.md5(F.lower(F.col("text")))
+    w_keep = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        good.select("doc_id", "lang", fp.alias("fp"))
+        .withColumn("rk", F.row_number().over(w_keep))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "lang")
+    )
+
+
+def q_curated_corpus(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    total = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    kept = curated_corpus(docs).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("first_kept"),
+    )
+    return (
+        total.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "first_kept",
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_CURATED_CORPUS = """
+WITH good AS (
+  SELECT doc_id, lang, md5(lower(text)) AS fp
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
+    AND length(text) >= 30
+    AND CAST(len(regexp_extract_all(lower(text),
+            '\\b(the|a|of|to|and|in|is|was|for)\\b')) AS DOUBLE)
+        / len(string_split_regex(trim(text), '\\s+')) >= 0.05
+), kept AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+    FROM good
+  ) WHERE rk = 1
+), per_lang AS (
+  SELECT lang, count(*) AS n_kept, min(doc_id) AS first_kept
+  FROM kept GROUP BY lang
+)
+SELECT d.lang, count(*) AS n_total,
+       COALESCE(any_value(p.n_kept), 0) AS n_kept,
+       any_value(p.first_kept) AS first_kept
+FROM documents d LEFT JOIN per_lang p ON d.lang = p.lang
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+# --------------------------------------------------------------------------
 
 def q_lang_guess_confusion(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
@@ -191,6 +268,7 @@ FROM f GROUP BY source ORDER BY source
 QUERIES = {
     "token_counts_by_lang": q_token_counts_by_lang,
     "subword_token_stats": q_subword_token_stats,
+    "curated_corpus": q_curated_corpus,
     "quality_scores_by_source": q_quality_scores_by_source,
     "lang_guess_confusion": q_lang_guess_confusion,
     "doc_fingerprints": q_doc_fingerprints,
@@ -199,6 +277,7 @@ QUERIES = {
 ORACLE = {
     "token_counts_by_lang": SQL_TOKEN_COUNTS_BY_LANG,
     "subword_token_stats": SQL_SUBWORD_TOKEN_STATS,
+    "curated_corpus": SQL_CURATED_CORPUS,
     "quality_scores_by_source": SQL_QUALITY_SCORES_BY_SOURCE,
     "lang_guess_confusion": SQL_LANG_GUESS_CONFUSION,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
