@@ -128,12 +128,17 @@ def ngram_jaccard_pairs(
         .select(F.col("doc_id"), F.explode(hashed).alias("h"))
         .distinct()
     )
-    # the (doc_id, h) table feeds four consumers (self-join a/b, sizes,
+    # the (doc_id, h) table feeds three consumers (self-join a/b sides and
     # doc-frequency) and is deliberately NOT persisted: A/B-measured, the
     # cache write of the largest intermediate costs more than re-shingling
     # (map-side, codegen) — unlike the tiny band tables below. At warehouse
     # scale, write the shingle table to storage once and read it back.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # Per-doc sizes skip the exploded table entirely: distinct-count the
+    # shingle ARRAY map-side (no exchange, one row per doc — a broadcast-
+    # sized Jaccard-denominator dim).
+    sizes = docs.where(F.size(w) >= n).select(
+        "doc_id", F.size(F.array_distinct(hashed)).alias("n_sh")
+    )
     doc_freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     pruned = sh.join(doc_freq.where(F.col("df") <= max_df), "h").select(
         "doc_id", "h"
