@@ -1,1 +1,6 @@
-from .grits_like import grits_both, grits_content, grits_topology  # noqa: F401
+from .grits_like import (  # noqa: F401
+    grits_both,
+    grits_content,
+    grits_factored,
+    grits_topology,
+)

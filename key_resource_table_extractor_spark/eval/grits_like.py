@@ -133,3 +133,93 @@ def grits_both(pred_rows: list[list], gold_rows: list[list]):
         grits_content(pred_rows, gold_rows)[2],
         grits_topology(pred_rows, gold_rows)[2],
     )
+
+
+# --------------------------------------------------------------------------
+# factored 2D-MSS (row AND column alignment) — the reference's actual
+# GriTS shape (scripts/grits.py:166-213 factors the 2D most-similar
+# substructure into order-preserving 1D alignments over rows and columns)
+# --------------------------------------------------------------------------
+
+def _align_pairs(items_a, items_b, sim_fn):
+    """Order-preserving alignment maximizing total pairwise similarity;
+    returns the matched (i, j) index pairs (classic LCS-style DP)."""
+    na, nb = len(items_a), len(items_b)
+    dp = [[0.0] * (nb + 1) for _ in range(na + 1)]
+    for i in range(1, na + 1):
+        for j in range(1, nb + 1):
+            match = dp[i - 1][j - 1] + sim_fn(items_a[i - 1], items_b[j - 1])
+            dp[i][j] = max(dp[i - 1][j], dp[i][j - 1], match)
+    pairs = []
+    i, j = na, nb
+    while i > 0 and j > 0:
+        m = dp[i - 1][j - 1] + sim_fn(items_a[i - 1], items_b[j - 1])
+        if dp[i][j] == m and m >= max(dp[i - 1][j], dp[i][j - 1]):
+            pairs.append((i - 1, j - 1))
+            i, j = i - 1, j - 1
+        elif dp[i - 1][j] >= dp[i][j - 1]:
+            i -= 1
+        else:
+            j -= 1
+    pairs.reverse()
+    return pairs
+
+
+def _grid_of(rows) -> list[list[str]]:
+    """Rectangular content grid; colspan dict cells are expanded into their
+    spanned positions (content in the first, "" fillers after)."""
+    grid = []
+    for row in rows:
+        cells = []
+        for cell in row:
+            cells.append(_cell_content(cell))
+            cells.extend([""] * (_cell_colspan(cell) - 1))
+        grid.append(cells)
+    width = max((len(r) for r in grid), default=0)
+    return [r + [None] * (width - len(r)) for r in grid]  # None = padding
+
+
+def _sim_or_pad(a, b) -> float:
+    if a is None or b is None:  # rectangle padding carries no gain
+        return 0.0
+    return _cell_sim(a, b)
+
+
+def grits_factored(pred_rows: list[list], gold_rows: list[list]):
+    """(precision, recall, f1) under the factored 2D-MSS: rows are aligned
+    by an order-preserving DP, then columns are aligned by a second DP over
+    the row-aligned tables, and the gain is summed over aligned (row,
+    column) intersections. Unlike the positional variant above, a spurious
+    inserted/deleted COLUMN only costs its own mass instead of shifting
+    every later column off alignment."""
+    gp, gg = _grid_of(pred_rows), _grid_of(gold_rows)
+    if not gp or not gg or not gp[0] or not gg[0]:
+        return (0.0, 0.0, 0.0)
+    row_pairs = _align_pairs(
+        gp, gg, lambda ra, rb: sum(
+            _sim_or_pad(a, b) for a, b in zip(ra, rb)
+        )
+    )
+    cols_p = list(zip(*gp))
+    cols_g = list(zip(*gg))
+
+    def col_sim(ca, cb):
+        return sum(_sim_or_pad(ca[i], cb[j]) for i, j in row_pairs)
+
+    col_pairs = _align_pairs(cols_p, cols_g, col_sim)
+    gained = sum(
+        _sim_or_pad(gp[i][c], gg[j][d])
+        for i, j in row_pairs
+        for c, d in col_pairs
+    )
+    # mass = real (non-padding) grid positions, matching the expanded gain
+    pred_mass = sum(1 for r in gp for c in r if c is not None) or 1
+    gold_mass = sum(1 for r in gg for c in r if c is not None) or 1
+    precision = min(gained / pred_mass, 1.0)
+    recall = min(gained / gold_mass, 1.0)
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall
+        else 0.0
+    )
+    return (precision, recall, f1)

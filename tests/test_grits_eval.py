@@ -86,6 +86,24 @@ def test_topology_identity_on_plain_grids():
     assert grits_topology(rows, rows) == (1.0, 1.0, 1.0)
 
 
+def test_factored_alignment_rescues_inserted_column():
+    """The factored 2D-MSS (row AND column DP) charges an inserted column
+    only its own mass; the positional variant loses every later column."""
+    from key_resource_table_extractor_spark.eval import grits_factored
+
+    gold = [["aaa", "bbb", "ccc"], ["ddd", "eee", "fff"]]
+    pred = [["aaa", "XX", "bbb", "ccc"], ["ddd", "YY", "eee", "fff"]]
+    _p_pos, r_pos, _ = grits_content(pred, gold)
+    p_fac, r_fac, f_fac = grits_factored(pred, gold)
+    assert r_fac == 1.0  # every gold cell recovered via column alignment
+    assert p_fac == 0.75  # 6 of 8 pred cells align
+    assert r_fac > r_pos  # positional compare loses the shifted columns
+    # identity and row-subset behavior match the simple variant
+    assert grits_factored(gold, gold) == (1.0, 1.0, 1.0)
+    p, r, _ = grits_factored([gold[0]], gold)
+    assert p == 1.0 and r == 0.5
+
+
 @pytest.mark.skipif(
     not os.path.isdir(GOLD_DIR), reason="reference gold data not available"
 )
