@@ -70,10 +70,29 @@ def q_extract_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return job.extract_nested(spans)
 
 
+def q_extract_nested_colspans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested output in the gold-JSON cell shape ({"content","colspan"});
+    full-width spanning rows are recovered as colspan=ncols cells."""
+    spans = _spans_from_documents(spark, sf_dir)
+    return job.extract_nested(spans, with_colspans=True)
+
+
+def q_extract_spans_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship under the detected-row merge model (J4 analog,
+    row_model="anchor") instead of the continuation-vote model."""
+    spans = _spans_from_documents(spark, sf_dir)
+    spans = job.salted_repartition(
+        spans, spark.sparkContext.defaultParallelism
+    )
+    return job.data_spans(job.extract(spans, row_model="anchor"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = dict(operators.all_queries())
     q["extract_spans"] = q_extract_spans
     q["extract_nested"] = q_extract_nested
+    q["extract_nested_colspans"] = q_extract_nested_colspans
+    q["extract_spans_anchor"] = q_extract_spans_anchor
     return q
 
 
