@@ -46,6 +46,12 @@ def main(argv=None):
     p.add_argument("--excepted-pages", default=None,
                    help="comma-separated detected-region indices to skip "
                         "(negative = from end)")
+    p.add_argument("--row-model", default=None,
+                   choices=["votes", "anchor", "none"],
+                   help="merge mechanism (default: votes)")
+    p.add_argument("--gap-min-spaces", type=int, default=None,
+                   help="space-run length that counts as a column gap "
+                        "(default 2)")
     args = p.parse_args(argv)
 
     def _ints(s):
@@ -70,6 +76,8 @@ def main(argv=None):
             buckets=_ints(args.bucket_subset),
             excepted_lines=_ints(args.excepted_lines),
             excepted_pages=_ints(args.excepted_pages),
+            row_model=args.row_model,
+            gap_min_spaces=args.gap_min_spaces,
         )
         wall = time.time() - t0
         out_rows = job.read_output(spark, args.out).count()
