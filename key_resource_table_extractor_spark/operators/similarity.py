@@ -198,6 +198,36 @@ def ivf_centroids(emb: DataFrame, nlist: int = IVF_NLIST) -> list:
     ]
 
 
+def ivf_refined_centroids(
+    emb: DataFrame, nlist: int = IVF_NLIST, iterations: int = 1
+) -> list:
+    """Lloyd-refined coarse quantizer: start from the hash-sampled seeds
+    and run k-means iterations fully distributed — assign every vector to
+    its nearest centroid (map-only, the single-literal scorer below), then
+    per-centroid elementwise means via posexplode + groupBy(cid, pos).
+    Only nlist × dim aggregate rows ever reach the driver. Empty lists
+    keep their previous centroid (standard k-means convention)."""
+    cents = ivf_centroids(emb, nlist)
+    dim = len(cents[0][1]) if cents else 0
+    for _ in range(iterations):
+        means = (
+            emb.select(
+                ivf_assign_expr(F.col("embedding"), cents).alias("cid"),
+                F.posexplode("embedding").alias("pos", "v"),
+            )
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, list] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], [0.0] * dim)[r["pos"]] = float(r["m"])
+        cents = [
+            (cid, by_cid.get(cid, c)) for cid, c in cents
+        ]
+    return cents
+
+
 def _centroid_scores(vec_col, cents) -> "F.Column":
     """array<struct<score,cid>> ranking centroids by cosine (JVM-side).
 
@@ -216,10 +246,13 @@ def _centroid_scores(vec_col, cents) -> "F.Column":
     cent_lit = F.array(
         *[F.array(*[F.lit(v) for v in c]) for c in unit]
     )
+    # named_struct: alias() on lambda-bound columns inside transform() can
+    # be dropped by the analyzer (fields come out as col1/y_N), breaking
+    # ["cid"] access downstream
     return F.transform(
         cent_lit,
-        lambda c, i: F.struct(
-            _dot(vec_col, c).alias("score"), i.alias("cid")
+        lambda c, i: F.named_struct(
+            F.lit("score"), _dot(vec_col, c), F.lit("cid"), i
         ),
     )
 
@@ -244,6 +277,7 @@ def ann_ivf_topk(
     k: int = 5,
     nlist: int = IVF_NLIST,
     nprobe: int = IVF_NPROBE,
+    refine_iterations: int = 0,
 ) -> DataFrame:
     """IVF-flat ANN: corpus vectors hash-join on their inverted-list id,
     queries probe their nprobe nearest lists. The shuffle carries only
@@ -252,7 +286,11 @@ def ann_ivf_topk(
     the LSH variant; recall-vs-brute-force oracle in tests."""
     from pyspark.sql import Window
 
-    cents = ivf_centroids(emb, nlist)
+    cents = (
+        ivf_refined_centroids(emb, nlist, refine_iterations)
+        if refine_iterations
+        else ivf_centroids(emb, nlist)
+    )
     cand = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("ce"),

@@ -47,6 +47,32 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.6, recalls
 
 
+def test_ivf_kmeans_refinement(spark, emb):
+    """One distributed Lloyd pass keeps recall and stays deterministic:
+    refined centroids differ from the seeds (means moved) but are stable
+    across partitionings."""
+    seeds = similarity.ivf_centroids(emb)
+    r1 = similarity.ivf_refined_centroids(emb)
+    r2 = similarity.ivf_refined_centroids(emb.repartition(5))
+    assert r1 != seeds  # the means actually moved
+    for (c1, v1), (c2, v2) in zip(r1, r2):
+        assert c1 == c2
+        assert all(abs(a - b) < 1e-9 for a, b in zip(v1, v2))
+    brute = similarity.cosine_topk(emb, n_queries=10, k=5).collect()
+    ivf = similarity.ann_ivf_topk(
+        emb, n_queries=10, k=5, refine_iterations=1
+    ).collect()
+    gold, got = {}, {}
+    for r in brute:
+        gold.setdefault(r["query_id"], set()).add(r["cand_id"])
+    for r in ivf:
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+    recalls = [
+        len(gold[q] & got.get(q, set())) / len(gold[q]) for q in gold
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
 def test_ivf_assignment_deterministic(spark, emb):
     """Centroids + assignments are stable across partitionings (pure
     function of vec_id hashes + vector values)."""
