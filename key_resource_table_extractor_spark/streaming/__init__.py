@@ -3,3 +3,4 @@ from .windowed_stats import (  # noqa: F401
     run_windowed_event_stats,
     windowed_event_stats,
 )
+from .stream_dedup import dedup_stream, run_stream_dedup  # noqa: F401
