@@ -96,39 +96,67 @@ def size_balanced_repartition(
     num_partitions: int,
     heavy_quantile: float = 0.99,
     salt: int = 0,
+    exact_per_partition: int = 4,
 ) -> DataFrame:
-    """Skew-aware repartition: round-robin the heavy tail, hash the rest.
+    """Skew-aware repartition: round-robin the heaviest docs, hash the rest.
 
-    Docs above the ``heavy_quantile`` span-count are placed round-robin by
-    descending size (so the k heaviest docs land on k distinct partitions);
-    everything else is salted-hash distributed. The global window runs over
-    the heavy subset only (~1% of docs); at extreme scale cap that subset
-    further or pre-aggregate sizes per bucket. Output is byte-identical to
-    any other partitioning (extraction is per-doc pure) — pinned by the
-    determinism test.
+    Three bands by span count:
+
+    - SUPER-HEAVY — docs STRICTLY above the ``1 - cap/n`` approx-quantile
+      (``cap = exact_per_partition * num_partitions``): placed round-robin
+      by descending size, so the k uniquely-heaviest docs land on k distinct
+      partitions. Strictly-above bounds the exact-placement window to ~cap
+      rows by the quantile definition even under heavy ties — never a global
+      sort of the whole heavy tail through one task.
+    - HEAVY (above ``heavy_quantile`` up to the super-heavy cut, including
+      any tie mass AT the cut): salted hash with a DIFFERENT salt than the
+      light band — equal-sized docs gain nothing from exact round-robin, a
+      hash spread balances them in expectation without any sort.
+    - LIGHT — salted hash.
+
+    Output is byte-identical to any other partitioning (extraction is
+    per-doc pure) — pinned by the determinism test.
     """
     from pyspark.sql import Window
 
     sized = df.withColumn("__sz", F.size("spans"))
-    thr_row = sized.agg(
-        F.expr(f"approx_percentile(__sz, {heavy_quantile})").alias("t")
+    agg = sized.agg(
+        F.expr(f"approx_percentile(__sz, {heavy_quantile})").alias("t"),
+        F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    thr = int(thr_row["t"] or 0)
-    heavy = sized.where(F.col("__sz") >= F.lit(thr))
+    thr = int(agg["t"] or 0)
+    n_rows = int(agg["n"] or 0)
+    cap = max(exact_per_partition * num_partitions, 1)
+    # second threshold: quantile with at most ~cap rows STRICTLY above it
+    q2 = max(heavy_quantile, 1.0 - cap / n_rows) if n_rows else heavy_quantile
+    thr2 = thr
+    if q2 > heavy_quantile:
+        thr2_row = sized.agg(
+            F.expr(f"approx_percentile(__sz, {q2})").alias("t")
+        ).collect()[0]
+        thr2 = max(int(thr2_row["t"] or 0), thr)
+    super_heavy = sized.where(F.col("__sz") > F.lit(thr2))
+    mid = sized.where(
+        (F.col("__sz") >= F.lit(thr)) & (F.col("__sz") <= F.lit(thr2))
+    )
     light = sized.where(F.col("__sz") < F.lit(thr))
     w = Window.orderBy(F.desc("__sz"), F.asc("doc_id"))
-    heavy_p = heavy.withColumn(
+    super_p = super_heavy.withColumn(
         "__p",
         F.pmod(F.row_number().over(w) - 1, F.lit(num_partitions)).cast("int"),
     )
-    light_p = light.withColumn(
-        "__p",
-        F.pmod(
-            F.xxhash64(F.col("doc_id"), F.lit(salt)), F.lit(num_partitions)
-        ).cast("int"),
-    )
+
+    def _hash_p(frame, s):
+        return frame.withColumn(
+            "__p",
+            F.pmod(
+                F.xxhash64(F.col("doc_id"), F.lit(s)), F.lit(num_partitions)
+            ).cast("int"),
+        )
+
     return (
-        heavy_p.unionByName(light_p)
+        super_p.unionByName(_hash_p(mid, salt + 1))
+        .unionByName(_hash_p(light, salt))
         .repartition(num_partitions, F.col("__p"))
         .drop("__sz", "__p")
     )
@@ -328,8 +356,14 @@ def run_extraction(
         "__bucket",
         F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"),
     )
-    summary = {"run_id": run_id, "buckets_run": 0, "buckets_skipped": len(done)}
     todo = buckets if buckets is not None else range(n_buckets)
+    # skips are counted WITHIN the requested subset only: a shard driver's
+    # summary must not conflate other shards' checkpoint rows with its own
+    summary = {
+        "run_id": run_id,
+        "buckets_run": 0,
+        "buckets_skipped": len(done & set(todo)),
+    }
     is_stats = F.col("kind") == STATS_KIND
 
     def _stat(field):

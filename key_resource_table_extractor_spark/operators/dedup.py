@@ -54,20 +54,6 @@ def _words(col="text"):
     return F.split(F.trim(F.col(col)), r"\s+")
 
 
-def shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per doc (built-ins only, no UDF)."""
-    w = _words()
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
-    )
-    return (
-        docs.where(F.size(w) >= n)
-        .select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("sh"))
-        .distinct()
-    )
-
-
 # --------------------------------------------------------------------------
 # prefix-fingerprint dedup (exact dedup generalization; O5)
 # --------------------------------------------------------------------------
@@ -235,8 +221,14 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Candidate near-dup pairs via banded LSH over minhash signatures."""
+def minhash_lsh_pairs(
+    docs: DataFrame, n: int = 3, max_bucket: int | None = MAX_BUCKET
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over minhash signatures.
+
+    ``max_bucket`` drops degenerate band buckets bigger than this before the
+    self-join (``None`` disables — small/skewed corpora where every bucket is
+    hot would otherwise silently lose true pairs)."""
     sig = minhash_signatures(docs, n)
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     bands = F.array(
@@ -258,12 +250,14 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
     # exchange reuse does not cover the three consumers)
     exploded = _persist_bounded("minhash_bands", exploded)
     # defuse skewed buckets before the self-join
-    bucket_sizes = exploded.groupBy("band", "bval").agg(
-        F.count(F.lit(1)).alias("bn")
-    )
-    pruned = exploded.join(
-        bucket_sizes.where(F.col("bn") <= MAX_BUCKET), ["band", "bval"]
-    )
+    pruned = exploded
+    if max_bucket is not None:
+        bucket_sizes = exploded.groupBy("band", "bval").agg(
+            F.count(F.lit(1)).alias("bn")
+        )
+        pruned = exploded.join(
+            bucket_sizes.where(F.col("bn") <= max_bucket), ["band", "bval"]
+        )
     a = pruned.alias("a")
     b = pruned.alias("b")
     return (
@@ -320,10 +314,19 @@ def simhash_df(docs: DataFrame) -> DataFrame:
     return votes.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = MAX_BUCKET,
+) -> DataFrame:
     """Pairs within hamming distance via 4×16-bit band blocking.
 
     Pigeonhole: hamming <= 3 over 64 bits → at least one 16-bit band equal.
+
+    ``max_bucket`` drops band buckets bigger than this before the self-join
+    (``None`` disables): a corpus whose all 4 bands are hot would otherwise
+    silently lose true near-dup pairs — same tuning surface as
+    ``ngram_jaccard_pairs(max_df=...)`` and ``minhash_lsh_pairs``.
     """
     sim = simhash_df(docs)
     bands = F.array(
@@ -344,8 +347,13 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     # defuse skewed band buckets before the self-join (same guard as the
     # minhash path): templated/short docs collapse to few simhash values,
     # and one hot 16-bit band value would otherwise go quadratic
-    band_sizes = ex.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("bn"))
-    ex = ex.join(band_sizes.where(F.col("bn") <= MAX_BUCKET), ["band", "bval"])
+    if max_bucket is not None:
+        band_sizes = ex.groupBy("band", "bval").agg(
+            F.count(F.lit(1)).alias("bn")
+        )
+        ex = ex.join(
+            band_sizes.where(F.col("bn") <= max_bucket), ["band", "bval"]
+        )
     a = ex.alias("a")
     b = ex.alias("b")
     return (

@@ -16,7 +16,7 @@ container); nested tables are not supported (the gold corpus has none).
 
 from __future__ import annotations
 
-from html import escape, unescape
+from html import escape
 from html.parser import HTMLParser
 
 
@@ -52,8 +52,11 @@ class _TableParser(HTMLParser):
         self._text: list[str] = []
 
     def _flush_cell(self):
+        # convert_charrefs=True already decodes entities in handle_data —
+        # a second unescape() here would corrupt content whose DECODED form
+        # contains entity-like text ("use &amp; literally" → "use &")
         if self._cell is not None:
-            self._cell["content"] = unescape("".join(self._text)).strip()
+            self._cell["content"] = "".join(self._text).strip()
             self._row.append(self._cell)
             self._cell = None
 

@@ -117,6 +117,24 @@ def test_simhash_hot_band_guard(spark):
     assert all(a >= 2000 for a, _b in found), sorted(found)[:5]
 
 
+def test_simhash_max_bucket_tunable(spark):
+    """The bucket guard is a parameter: max_bucket=None disables it, so a
+    small corpus whose every band is hot still reports its true near-dups."""
+    hot = [(i, OTHER) for i in range(dedup.MAX_BUCKET + 10)]
+    docs = spark.createDataFrame(hot, "doc_id bigint, text string")
+    guarded = dedup.simhash_near_dups(docs, max_hamming=6).count()
+    assert guarded == 0  # default guard drops the hot cluster
+    unguarded = dedup.simhash_near_dups(
+        docs, max_hamming=6, max_bucket=None
+    ).count()
+    n = len(hot)
+    assert unguarded == n * (n - 1) // 2  # all pairs recovered
+    # minhash exposes the same knob
+    m = dedup.minhash_lsh_pairs(docs, max_bucket=None).count()
+    assert m == n * (n - 1) // 2
+    assert dedup.minhash_lsh_pairs(docs).count() == 0
+
+
 def test_similarity_match_word_df_cap(spark):
     """J7 guard: with max_word_df, a stop word shared by every doc cannot
     drive the coverage join quadratic; matches via rare words survive."""

@@ -53,6 +53,14 @@ def test_entities_and_th_cells():
     assert rows[1][0] == ("z", 1, 2)
 
 
+def test_no_double_entity_decoding():
+    """Entities are decoded exactly once (convert_charrefs); content whose
+    DECODED form contains entity-like text must survive verbatim."""
+    markup = "<table><tr><td>use &amp;amp; literally: &amp;lt;tag&amp;gt;</td></tr></table>"
+    tables = html_to_gold_tables(markup, name="t")
+    assert tables[0]["rows"][0][0]["content"] == "use &amp; literally: &lt;tag&gt;"
+
+
 def test_implied_end_tags():
     """HTML5 allows omitting </td>/</tr>: a new cell/row start implicitly
     closes the open one — no cells or rows may be silently dropped."""

@@ -75,6 +75,11 @@ def test_bucket_subset_sharding(spark, tmp_path):
     s2 = job.run_extraction(spark, inp, out, cp, run_id="sh",
                             buckets=[1, 3], **common)
     assert s1["buckets_run"] == 2 and s2["buckets_run"] == 2
+    # per-shard summaries are self-consistent: a re-run of ONE subset counts
+    # only skips within that subset, not other shards' checkpoint rows
+    s1b = job.run_extraction(spark, inp, out, cp, run_id="sh",
+                             buckets=[0, 2], **common)
+    assert s1b["buckets_run"] == 0 and s1b["buckets_skipped"] == 2, s1b
     full = job.run_extraction(spark, inp, out, cp, run_id="sh", **common)
     assert full["buckets_run"] == 0 and full["buckets_skipped"] == 4
     gold_dir = str(tmp_path / "g")

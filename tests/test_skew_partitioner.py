@@ -39,6 +39,26 @@ def test_heavy_docs_spread_and_output_identical(spark):
     pids = {r["pid"] for r in placed}
     assert len(pids) == len(heavy_ids)
 
+    # forced degenerate quantile: even when EVERY doc is "heavy", no single
+    # partition receives the whole heavy set — the exact-placement window is
+    # capped to ~exact_per_partition*p rows and the rest is hash-spread
+    all_heavy = job.size_balanced_repartition(inp, p, heavy_quantile=0.0)
+    loads = (
+        all_heavy.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_pid = {r["pid"]: r["n"] for r in loads}
+    assert len(per_pid) > 1, per_pid
+    assert max(per_pid.values()) < 400, per_pid
+    c = (
+        job.data_spans(job.extract(all_heavy))
+        .orderBy("doc_id", "seq")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
     # byte-identical extraction output vs the plain salted path
     a = (
         job.data_spans(job.extract(balanced))
@@ -53,3 +73,4 @@ def test_heavy_docs_spread_and_output_identical(spark):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+    assert c.equals(b)
