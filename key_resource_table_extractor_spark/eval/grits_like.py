@@ -165,6 +165,26 @@ def _align_pairs(items_a, items_b, sim_fn):
     return pairs
 
 
+def _align_gain(items_a, items_b, sim_fn) -> float:
+    """Total gain of the best order-preserving alignment (DP value only)."""
+    na, nb = len(items_a), len(items_b)
+    dp = [[0.0] * (nb + 1) for _ in range(na + 1)]
+    for i in range(1, na + 1):
+        for j in range(1, nb + 1):
+            match = dp[i - 1][j - 1] + sim_fn(items_a[i - 1], items_b[j - 1])
+            dp[i][j] = max(dp[i - 1][j], dp[i][j - 1], match)
+    return dp[na][nb]
+
+
+def _free_inner_sim(seq_a, seq_b) -> float:
+    """Similarity of two cell sequences under a FREE inner 1D alignment
+    (the reference's align_2d_outer row reward, grits.py:129-146): each
+    outer pair may pick its own inner alignment, inconsistent across pairs
+    — which is exactly why the resulting score upper-bounds the consistent
+    factored score."""
+    return _align_gain(seq_a, seq_b, _sim_or_pad)
+
+
 def _grid_of(rows) -> list[list[str]]:
     """Rectangular content grid; colspan dict cells are expanded into their
     spanned positions (content in the first, "" fillers after)."""
@@ -186,15 +206,24 @@ def _sim_or_pad(a, b) -> float:
 
 
 def grits_factored(pred_rows: list[list], gold_rows: list[list]):
-    """(precision, recall, f1) under the factored 2D-MSS: rows are aligned
-    by an order-preserving DP, then columns are aligned by a second DP over
-    the row-aligned tables, and the gain is summed over aligned (row,
-    column) intersections. Unlike the positional variant above, a spurious
-    inserted/deleted COLUMN only costs its own mass instead of shifting
-    every later column off alignment."""
+    """(precision, recall, f1, upper_bound) under the factored 2D-MSS: rows
+    are aligned by an order-preserving DP, then columns are aligned by a
+    second DP over the row-aligned tables, and the gain is summed over
+    aligned (row, column) intersections. Unlike the positional variant
+    above, a spurious inserted/deleted COLUMN only costs its own mass
+    instead of shifting every later column off alignment.
+
+    ``upper_bound`` is the reference's diagnostic f-score bound on the true
+    (NP-hard) 2D-MSS (grits.py:199-205,214): the min of the row-stage and
+    column-stage alignment gains where each stage grants every outer pair a
+    FREE inner 1D alignment. The consistent factored gain can never exceed
+    either stage's free gain, so ``f1 <= upper_bound`` always; a gap means
+    the prediction's row and column structure cannot be reconciled by any
+    single consistent alignment (structure misalignment, not content loss).
+    """
     gp, gg = _grid_of(pred_rows), _grid_of(gold_rows)
     if not gp or not gg or not gp[0] or not gg[0]:
-        return (0.0, 0.0, 0.0)
+        return (0.0, 0.0, 0.0, 0.0)
     row_pairs = _align_pairs(
         gp, gg, lambda ra, rb: sum(
             _sim_or_pad(a, b) for a, b in zip(ra, rb)
@@ -215,11 +244,14 @@ def grits_factored(pred_rows: list[list], gold_rows: list[list]):
     # mass = real (non-padding) grid positions, matching the expanded gain
     pred_mass = sum(1 for r in gp for c in r if c is not None) or 1
     gold_mass = sum(1 for r in gg for c in r if c is not None) or 1
-    precision = min(gained / pred_mass, 1.0)
-    recall = min(gained / gold_mass, 1.0)
-    f1 = (
-        2 * precision * recall / (precision + recall)
-        if precision + recall
-        else 0.0
-    )
-    return (precision, recall, f1)
+
+    def _fscore(gain: float):
+        p = min(gain / pred_mass, 1.0)
+        r = min(gain / gold_mass, 1.0)
+        return (p, r, 2 * p * r / (p + r) if p + r else 0.0)
+
+    precision, recall, f1 = _fscore(gained)
+    row_gain = _align_gain(gp, gg, _free_inner_sim)
+    col_gain = _align_gain(cols_p, cols_g, _free_inner_sim)
+    upper_bound = _fscore(min(row_gain, col_gain))[2]
+    return (precision, recall, f1, upper_bound)

@@ -828,6 +828,33 @@ def q_similarity_match_join(spark, sf_dir):
     return similarity_match_join(load(spark, sf_dir, "documents"))
 
 
+def similarity_match_join_1to1(docs, max_word_df: int | None = None):
+    """One-to-one variant of the J7 matcher: each right-side doc is used at
+    most once (the reference's GROBID↔GS greedy matcher consumes each
+    prediction via seen-sets, table_extractor2_table_json_converter.py:
+    168-178). Two stacked row_number passes: best candidate per ``id_a``
+    (coverage desc, id_b asc), then best surviving claim per ``id_b``
+    (coverage desc, id_a asc) — the standard distributed reduction of greedy
+    bipartite matching (each pass is one shuffle on a short key; no
+    driver-side iteration)."""
+    from pyspark.sql import Window
+
+    best = similarity_match_join(docs, max_word_df=max_word_df)
+    w_b = Window.partitionBy("id_b").orderBy(
+        F.desc("coverage"), F.asc("id_a")
+    )
+    return (
+        best.withColumn("rk", F.row_number().over(w_b))
+        .where(F.col("rk") == 1)
+        .select("id_a", "id_b", "coverage")
+        .orderBy("id_a")
+    )
+
+
+def q_similarity_match_join_1to1(spark, sf_dir):
+    return similarity_match_join_1to1(load(spark, sf_dir, "documents"))
+
+
 SQL_SIMILARITY_MATCH_JOIN = """
 WITH words AS (
   SELECT doc_id, source, unnest(list_distinct(string_split_regex(trim(text),
@@ -854,12 +881,47 @@ SELECT id_a, id_b, coverage FROM (
 """
 
 
+SQL_SIMILARITY_MATCH_JOIN_1TO1 = """
+WITH words AS (
+  SELECT doc_id, source, unnest(list_distinct(string_split_regex(trim(text),
+         '\\s+'))) AS w
+  FROM documents
+), l AS (SELECT doc_id AS id_a, w FROM words WHERE source = 'src0'),
+   r AS (SELECT doc_id AS id_b, w FROM words WHERE source = 'src1'),
+   sizes AS (SELECT id_a, count(*) AS na FROM l GROUP BY id_a),
+   shared AS (
+     SELECT id_a, id_b, count(*) AS shared
+     FROM l JOIN r USING (w) GROUP BY id_a, id_b
+   ),
+   cov AS (
+     SELECT id_a, id_b, round(shared / na, 4) AS coverage
+     FROM shared JOIN sizes USING (id_a)
+     WHERE shared / na > 0.4
+   ),
+   best_a AS (
+     SELECT id_a, id_b, coverage FROM (
+       SELECT id_a, id_b, coverage,
+              row_number() OVER (PARTITION BY id_a
+                                 ORDER BY coverage DESC, id_b) AS rk
+       FROM cov
+     ) WHERE rk = 1
+   )
+SELECT id_a, id_b, coverage FROM (
+  SELECT id_a, id_b, coverage,
+         row_number() OVER (PARTITION BY id_b
+                            ORDER BY coverage DESC, id_a) AS rk
+  FROM best_a
+) WHERE rk = 1 ORDER BY id_a
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "sketch_distinct_users": q_sketch_distinct_users,
     "sketch_value_percentiles": q_sketch_value_percentiles,
     "deterministic_sample": q_deterministic_sample,
     "similarity_match_join": q_similarity_match_join,
+    "similarity_match_join_1to1": q_similarity_match_join_1to1,
     "supplier_balance_by_nation": q_supplier_balance_by_nation,
     "revenue_by_region": q_revenue_by_region,
     "monthly_order_trend": q_monthly_order_trend,
@@ -883,6 +945,7 @@ ORACLE = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
     "similarity_match_join": SQL_SIMILARITY_MATCH_JOIN,
+    "similarity_match_join_1to1": SQL_SIMILARITY_MATCH_JOIN_1TO1,
     "supplier_balance_by_nation": SQL_SUPPLIER_BALANCE_BY_NATION,
     "revenue_by_region": SQL_REVENUE_BY_REGION,
     "monthly_order_trend": SQL_MONTHLY_ORDER_TREND,

@@ -163,6 +163,39 @@ def test_similarity_match_word_df_cap(spark):
     assert capped == {(500, 501)}, capped
 
 
+def test_similarity_match_1to1(spark):
+    """One-to-one J7 variant (reference seen-set greedy,
+    table_extractor2_table_json_converter.py:168-178): each id_b is used at
+    most once; contested id_b goes to the highest-coverage claimant
+    (smallest id_a on ties); losers are dropped, not re-matched."""
+    from key_resource_table_extractor_spark.operators.relational import (
+        similarity_match_join,
+        similarity_match_join_1to1,
+    )
+
+    rows = [
+        # doc 10 covers b-500 fully (cov 1.0); doc 11 covers it at 0.75
+        (10, "src0", "alpha beta gamma"),
+        (11, "src0", "alpha beta gamma zeta"),
+        (500, "src1", "alpha beta gamma"),
+        # an unrelated clean pair
+        (12, "src0", "mu nu xi"),
+        (501, "src1", "mu nu xi omicron"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    many = similarity_match_join(docs).collect()
+    # best-per-left lets one id_b serve many id_a
+    assert [(r["id_a"], r["id_b"]) for r in many] == [
+        (10, 500), (11, 500), (12, 501)
+    ]
+    one = similarity_match_join_1to1(docs).collect()
+    assert [(r["id_a"], r["id_b"]) for r in one] == [(10, 500), (12, 501)]
+    ids_b = [r["id_b"] for r in one]
+    assert len(ids_b) == len(set(ids_b))
+
+
 def test_minhash_signature_stability(spark, docs):
     """Signatures are deterministic across runs/partitionings."""
     s1 = {

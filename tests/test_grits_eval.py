@@ -94,14 +94,33 @@ def test_factored_alignment_rescues_inserted_column():
     gold = [["aaa", "bbb", "ccc"], ["ddd", "eee", "fff"]]
     pred = [["aaa", "XX", "bbb", "ccc"], ["ddd", "YY", "eee", "fff"]]
     _p_pos, r_pos, _ = grits_content(pred, gold)
-    p_fac, r_fac, f_fac = grits_factored(pred, gold)
+    p_fac, r_fac, f_fac, _ub = grits_factored(pred, gold)
     assert r_fac == 1.0  # every gold cell recovered via column alignment
     assert p_fac == 0.75  # 6 of 8 pred cells align
     assert r_fac > r_pos  # positional compare loses the shifted columns
     # identity and row-subset behavior match the simple variant
-    assert grits_factored(gold, gold) == (1.0, 1.0, 1.0)
-    p, r, _ = grits_factored([gold[0]], gold)
+    assert grits_factored(gold, gold) == (1.0, 1.0, 1.0, 1.0)
+    p, r, _f, _u = grits_factored([gold[0]], gold)
     assert p == 1.0 and r == 0.5
+
+
+def test_factored_upper_bound():
+    """The upper-bound diagnostic (reference grits.py:199-205,214): always
+    >= f1, == f1 on identity, and STRICTLY above f1 for a prediction whose
+    row and column structure cannot be consistently reconciled (here: a
+    180-degree rotation — each free per-stage alignment still finds a cell,
+    but no single consistent row+column alignment matches anything)."""
+    from key_resource_table_extractor_spark.eval import grits_factored
+
+    gold = [["aaaa", "bbbb"], ["cccc", "dddd"]]
+    rotated = [["dddd", "cccc"], ["bbbb", "aaaa"]]
+    p, r, f1, ub = grits_factored(rotated, gold)
+    assert f1 == 0.0
+    assert ub > f1, (f1, ub)
+    # invariant on ordinary perturbations too
+    for pred in ([["aaaa", "bbbb"]], [["aaaa", "XX", "bbbb"]], gold):
+        _p, _r, f, u = grits_factored(pred, gold)
+        assert u >= f
 
 
 @pytest.mark.skipif(
