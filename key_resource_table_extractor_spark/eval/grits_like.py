@@ -39,6 +39,12 @@ def _cell_colspan(cell) -> int:
     return 1
 
 
+def _cell_rowspan(cell) -> int:
+    if isinstance(cell, dict):
+        return max(int(cell.get("rowspan", 1) or 1), 1)
+    return 1
+
+
 def _cell_sim(a, b) -> float:
     a, b = _cell_content(a), _cell_content(b)
     if a == b:
@@ -186,17 +192,38 @@ def _free_inner_sim(seq_a, seq_b) -> float:
 
 
 def _grid_of(rows) -> list[list[str]]:
-    """Rectangular content grid; colspan dict cells are expanded into their
-    spanned positions (content in the first, "" fillers after)."""
-    grid = []
-    for row in rows:
-        cells = []
+    """Rectangular content grid under HTML occupancy semantics (the
+    reference's html-to-cells walk, grits.py:420-450): a colspan/rowspan
+    dict cell occupies its covered positions, shifting later cells in the
+    same and following rows past them. Content lands in the FIRST covered
+    position, covered fillers are "" (repo convention — the reference fills
+    every covered position with the full text; ours keeps mass = one cell).
+    Rows shorter than the grid width are padded with None (no mass)."""
+    nrows = len(rows)
+    cells_at: dict[tuple, str] = {}
+    pending: dict[int, set] = {}
+    for ri, row in enumerate(rows):
+        occ = pending.get(ri, set())
+        c = 0
         for cell in row:
-            cells.append(_cell_content(cell))
-            cells.extend([""] * (_cell_colspan(cell) - 1))
-        grid.append(cells)
-    width = max((len(r) for r in grid), default=0)
-    return [r + [None] * (width - len(r)) for r in grid]  # None = padding
+            k, r = _cell_colspan(cell), _cell_rowspan(cell)
+            while c in occ:
+                c += 1
+            cells_at[(ri, c)] = _cell_content(cell)
+            for cc in range(c + 1, c + k):
+                cells_at[(ri, cc)] = ""
+            for rr in range(ri + 1, min(ri + r, nrows)):
+                pending.setdefault(rr, set()).update(range(c, c + k))
+            c += k
+    for rr, cols in pending.items():  # rowspan-covered fillers
+        if rr < nrows:
+            for cc in cols:
+                cells_at.setdefault((rr, cc), "")
+    width = max((c for (_r, c) in cells_at), default=-1) + 1
+    return [
+        [cells_at.get((r, c), None) for c in range(width)]
+        for r in range(nrows)
+    ]
 
 
 def _sim_or_pad(a, b) -> float:

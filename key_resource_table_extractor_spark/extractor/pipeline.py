@@ -218,7 +218,14 @@ def _column_union(starts: np.ndarray, ends: np.ndarray):
 
 
 def _assign_columns(seg_s, seg_e, col_s, col_e):
-    """Max-overlap column per segment, leftmost tie, rightmost-start fallback."""
+    """Max-overlap column per segment, leftmost tie, rightmost-start fallback.
+
+    Returns ``(best, first, last)``: the assigned column plus the physical
+    extent — the first and last trap range each segment positively overlaps
+    (the interval-overlap data the spanning-cell recovery reads; reference
+    models spanning cells as their own boxes, table_model.py:239-264).
+    For segments overlapping no column, first == last == best (fallback).
+    """
     ce = col_e.astype(np.int64).copy()
     ce[-1] = max(ce[-1], int(seg_e.max()))  # last column extends (reference
     # expands the last column, PDFTableExtractor2.java:230-236)
@@ -230,7 +237,12 @@ def _assign_columns(seg_s, seg_e, col_s, col_e):
     if none.any():
         fb = np.searchsorted(col_s, seg_s[none], side="right") - 1
         best[none] = np.clip(fb, 0, len(col_s) - 1)
-    return best
+    pos = ov > 0
+    first = pos.argmax(axis=1)
+    last = pos.shape[1] - 1 - pos[:, ::-1].argmax(axis=1)
+    first = np.where(none, best, first)
+    last = np.where(none, best, last)
+    return best, first, last
 
 
 _LOWER_CONT = set(spec.CONTINUATION_LEADING_CHARS)
@@ -327,18 +339,26 @@ def _extract_doc_regions(
         ncols = len(col_s)
         if ncols < spec.MIN_COLUMNS:
             continue
-        col_of = _assign_columns(ss, se, col_s, col_e)
-        # cell grid (rows = physical lines of the region)
+        col_of, col_first, col_last = _assign_columns(ss, se, col_s, col_e)
+        # cell grid (rows = physical lines of the region); gf/gl carry each
+        # cell's physical column extent (min first / max last trap range its
+        # segments overlap) for spanning-cell recovery in the nested output
         nl = len(lines_idx)
         grid = np.full((nl, ncols), "", dtype=object)
+        gf = np.tile(np.arange(ncols, dtype=np.int64), (nl, 1))
+        gl = gf.copy()
         local = sl - lo_i
         for k in range(len(sl)):
             r, c = local[k], col_of[k]
             grid[r, c] = st[k] if grid[r, c] == "" else grid[r, c] + " " + st[k]
+            gf[r, c] = min(gf[r, c], col_first[k])
+            gl[r, c] = max(gl[r, c], col_last[k])
         nonempty = (grid != "").any(axis=1)
         if not nonempty.any():
             continue
         rows = grid[nonempty]
+        rows_f = gf[nonempty]
+        rows_l = gl[nonempty]
         row_lines = lines_idx[nonempty]
         hdr = is_header[row_lines]
         mode = row_model or ("votes" if merge_rows else "none")
@@ -354,12 +374,16 @@ def _extract_doc_regions(
         gid = np.cumsum(~merge) - 1
         ngroups = gid[-1] + 1
         folded = np.full((ngroups, ncols), "", dtype=object)
+        folded_f = np.tile(np.arange(ncols, dtype=np.int64), (ngroups, 1))
+        folded_l = folded_f.copy()
         for k in range(len(rows)):
             g = gid[k]
             for c in range(ncols):
                 v = rows[k, c]
                 if v != "":
                     folded[g, c] = v if folded[g, c] == "" else folded[g, c] + " " + v
+                    folded_f[g, c] = min(folded_f[g, c], rows_f[k, c])
+                    folded_l[g, c] = max(folded_l[g, c], rows_l[k, c])
         first_of_group = np.empty(len(gid), dtype=bool)
         first_of_group[0] = True
         first_of_group[1:] = gid[1:] != gid[:-1]
@@ -401,6 +425,8 @@ def _extract_doc_regions(
                     out["row"].append(g)
                     out["col"].append(c)
                     out["fullspan"].append(bool(grp_fullspan[g]))
+                    out["cfirst"].append(int(folded_f[g, c]))
+                    out["clast"].append(int(folded_l[g, c]))
             else:
                 j = int(ev_payload[ix])
                 out["doc_id"].append(doc_id)
@@ -414,6 +440,8 @@ def _extract_doc_regions(
                 out["row"].append(-1)
                 out["col"].append(-1)
                 out["fullspan"].append(False)
+                out["cfirst"].append(-1)
+                out["clast"].append(-1)
         n_tables += 1
     return n_tables
 
@@ -474,6 +502,7 @@ def extract_columnar(
     out: dict[str, list] = {
         "doc_id": [], "kind": [], "text": [], "media_ref": [], "offset": [],
         "table": [], "row": [], "col": [], "fullspan": [],
+        "cfirst": [], "clast": [],
     }
     n_tables = 0
     n_errors = 0
@@ -516,6 +545,8 @@ def extract_columnar(
             out["row"].append(-1)
             out["col"].append(-1)
             out["fullspan"].append(False)
+            out["cfirst"].append(-1)
+            out["clast"].append(-1)
 
     # per-batch lineage/metrics row (aggregated into the checkpoint table by
     # job.run_extraction — replaces the reference's Postgres job metrics)
@@ -545,6 +576,8 @@ def extract_columnar(
         out["row"].append(-1)
         out["col"].append(-1)
         out["fullspan"].append(False)
+        out["cfirst"].append(-1)
+        out["clast"].append(-1)
 
     # seq: 0-based per doc in emission order (docs are emitted contiguously),
     # computed from run lengths — no pandas groupby on the hot path
@@ -630,8 +663,19 @@ def extract_nested_batch(
 
     ``with_colspans=True`` emits cells as ``{"content", "colspan"}`` dicts
     (the gold-JSON cell shape, reference html_table_converter.py:60-72,
-    merge_model_data_prep.py:296-320): detected full-width spanning rows
-    collapse to a single cell with ``colspan = ncols``."""
+    merge_model_data_prep.py:296-320). Spanning cells are recovered two ways:
+
+    - full-width spanning rows (every source line single-segment, exactly one
+      non-empty cell — the section-divider shape the reference models as a
+      spanning cell, DETR label 5, table_model.py:239-264) collapse to a
+      single cell spanning from the cell's measured first column to the table
+      edge (``colspan = ncols - cfirst``), with empty cells before it;
+    - mid-row spanning cells: a cell whose segment interval physically
+      overlaps >= 2 detected column trap ranges (``cfirst``/``clast`` from
+      ``_assign_columns``) absorbs the covered EMPTY neighbor columns into
+      one ``colspan = n`` cell. Only physically-evident spans are recovered —
+      a spanning cell whose text stays inside one trap range is emitted as
+      colspan 1 (char-space limitation, documented deviation)."""
     if len(pdf) == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="string"),
                              "result": pd.Series(dtype="string")})
@@ -645,6 +689,7 @@ def extract_nested_batch(
     )
     docs: dict[str, dict] = {}
     fullspan: dict[tuple, bool] = {}
+    extents: dict[tuple, tuple] = {}
     for i in range(len(out["doc_id"])):
         if out["kind"][i] != spec.KIND_TEXT:
             continue
@@ -652,9 +697,9 @@ def extract_nested_batch(
         tbl = d.setdefault(out["table"][i], {})
         row = tbl.setdefault(out["row"][i], {})
         row[out["col"][i]] = out["text"][i]
-        fullspan[(out["doc_id"][i], out["table"][i], out["row"][i])] = out[
-            "fullspan"
-        ][i]
+        key = (out["doc_id"][i], out["table"][i], out["row"][i])
+        fullspan[key] = out["fullspan"][i]
+        extents[(*key, out["col"][i])] = (out["cfirst"][i], out["clast"][i])
     rows = []
     for doc_id in sorted(docs):
         pages = []
@@ -662,22 +707,63 @@ def extract_nested_batch(
             tbl = docs[doc_id][t]
             grid = []
             for r in sorted(tbl):
-                cells = [tbl[r][c] for c in sorted(tbl[r])]
+                cols = sorted(tbl[r])
+                cells = [tbl[r][c] for c in cols]
                 if not with_colspans:
                     grid.append(cells)
-                elif fullspan.get((doc_id, t, r)):
-                    content = next((c for c in cells if c != ""), "")
-                    grid.append(
-                        [{"content": content, "colspan": len(cells)}]
+                    continue
+                grid.append(
+                    _cells_with_colspans(
+                        cells,
+                        [extents.get((doc_id, t, r, c), (c, c)) for c in cols],
+                        fullspan.get((doc_id, t, r), False),
                     )
-                else:
-                    grid.append(
-                        [{"content": c, "colspan": 1} for c in cells]
-                    )
+                )
             pages.append({"page": int(t) + 1, "tables": [{"rows": grid}]})
         result = {"paper_id": doc_id, "result": {"pages": pages}}
         rows.append((doc_id, json.dumps(result, sort_keys=True)))
     return pd.DataFrame(rows, columns=["doc_id", "result"])
+
+
+def _cells_with_colspans(
+    cells: list, exts: list, is_fullspan: bool
+) -> list[dict]:
+    """Render one logical row into gold-JSON ``{"content", "colspan"}`` cells
+    using the cells' physical column extents (see ``extract_nested_batch``).
+    Claiming is left-to-right; a span absorbs only free EMPTY neighbors
+    within its measured extent, so two competing spans never overlap."""
+    ncols = len(cells)
+    if is_fullspan:
+        content_idx = next(
+            (c for c in range(ncols) if cells[c] != ""), 0
+        )
+        cf = min(max(exts[content_idx][0], 0), content_idx)
+        return [{"content": "", "colspan": 1}] * cf + [
+            {"content": cells[content_idx], "colspan": ncols - cf}
+        ]
+    owner = list(range(ncols))
+    for c in range(ncols):
+        if cells[c] == "":
+            continue
+        cf, cl = exts[c]
+        lo = c
+        while lo - 1 >= max(cf, 0) and cells[lo - 1] == "" and owner[lo - 1] == lo - 1:
+            lo -= 1
+            owner[lo] = c
+        hi = c
+        while hi + 1 <= min(cl, ncols - 1) and cells[hi + 1] == "" and owner[hi + 1] == hi + 1:
+            hi += 1
+            owner[hi] = c
+    row_cells: list[dict] = []
+    c = 0
+    while c < ncols:
+        o = owner[c]
+        k = 1
+        while c + k < ncols and owner[c + k] == o:
+            k += 1
+        row_cells.append({"content": cells[o], "colspan": k})
+        c += k
+    return row_cells
 
 
 def make_map_in_pandas_fn(

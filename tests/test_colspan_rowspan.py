@@ -1,0 +1,183 @@
+"""Mid-row spanning-cell (colspan) recovery and rowspan carriage:
+
+- a colspan>1 cell whose rendered content physically crosses its covered
+  column trap ranges round-trips through render → extract →
+  with_colspans nested output (reference models arbitrary spanning cells,
+  table_model.py:239-264; gold JSON carries colspan/rowspan,
+  merge_model_data_prep.py:296-320);
+- rowspan cells lay out with HTML occupancy semantics in the fixture
+  renderer, the gold grid expansion, and the GriTS grid expansion;
+- spans with no physical evidence stay colspan=1 (documented char-space
+  deviation).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+from key_resource_table_extractor_spark.eval import (
+    grits_content,
+    grits_factored,
+)
+from key_resource_table_extractor_spark.extractor.pipeline import (
+    extract_nested_batch,
+)
+from key_resource_table_extractor_spark.sources import (
+    gold_table_grid,
+    gold_table_to_spans,
+)
+
+
+def _cell(content, colspan=1, rowspan=None):
+    c = {"content": content, "colspan": colspan}
+    if rowspan:
+        c["rowspan"] = rowspan
+    return c
+
+
+MIDSPAN_TBL = {
+    "name": "midspan",
+    "rows": [
+        [_cell("REAGENT and RESOURCE"), _cell("SOURCE"), _cell("IDENTIFIER")],
+        [_cell("Anti-Foo antibody"), _cell("Abcam"), _cell("RRID:AB_123456")],
+        [_cell(""), _cell("a long spanning annotation crossing both columns", 2)],
+        [_cell("Bar protein"), _cell("Sigma"), _cell("RRID:SCR_004422")],
+    ],
+}
+
+ROWSPAN_TBL = {
+    "name": "rowspan",
+    "rows": [
+        [_cell("REAGENT and RESOURCE"), _cell("SOURCE"), _cell("IDENTIFIER")],
+        [_cell("Primer fwd GGTACC"), _cell("IDT"),
+         _cell("RRID:AB_11111 for the pair", rowspan=2)],
+        [_cell("Primer rev AAGCTT"), _cell("IDT")],
+        [_cell("Bar protein"), _cell("Sigma"), _cell("RRID:SCR_004422")],
+    ],
+}
+
+
+def _pdf_of(tbl):
+    spans = gold_table_to_spans(tbl)
+    return pd.DataFrame(
+        [(tbl["name"], [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for (k, t, m, o) in spans
+        ])],
+        columns=["doc_id", "spans"],
+    )
+
+
+def _nested_rows(nested):
+    res = json.loads(nested["result"].iloc[0])
+    return [
+        r
+        for page in res["result"]["pages"]
+        for t in page["tables"]
+        for r in t["rows"]
+    ]
+
+
+def test_midrow_colspan_round_trip():
+    """Gold row [("",1), (content, colspan=2)] survives render → extract →
+    with_colspans output with the SAME cell shape."""
+    nested = extract_nested_batch(
+        _pdf_of(MIDSPAN_TBL), merge_rows=False, with_colspans=True
+    )
+    rows = _nested_rows(nested)
+    # drop the prepended title row, compare the data rows cell-for-cell
+    got = [
+        [(c["content"], c["colspan"]) for c in r] for r in rows[1:]
+    ]
+    exp = [
+        [(c["content"], c["colspan"]) for c in r]
+        for r in gold_table_grid(MIDSPAN_TBL, expand_colspans=False)
+    ]
+    assert got == exp, (got, exp)
+    assert [(("", 1)), ("a long spanning annotation crossing both columns", 2)] in got
+
+
+def test_rowspan_round_trip():
+    """Rowspan occupancy: the covered row renders with a blank under the
+    spanning cell, the expanded gold grid carries the "" filler in the
+    covered position, and the extracted content grid matches it exactly."""
+    gold_grid = gold_table_grid(ROWSPAN_TBL)
+    assert gold_grid[2] == ["Primer rev AAGCTT", "IDT", ""]  # filler carried
+    nested = extract_nested_batch(_pdf_of(ROWSPAN_TBL), merge_rows=False)
+    rows = _nested_rows(nested)
+    assert rows[1:] == gold_grid  # title row aside, exact grid round-trip
+    # the dict-shape grid keeps extents aligned via a filler dict cell
+    dict_grid = gold_table_grid(ROWSPAN_TBL, expand_colspans=False)
+    assert dict_grid[2][2] == {"content": "", "colspan": 1}
+
+
+def test_folded_continuation_recovers_colspan():
+    """VERDICT case: a folded cell whose continuation segment physically
+    spans >=2 trap ranges absorbs its empty right neighbor into colspan=2
+    (votes merge mode); a short continuation stays colspan=1."""
+    doc = [
+        ("text", "Key Resources Table", "", 0),
+        ("text", "REAGENT or RESOURCE     SOURCE     IDENTIFIER", "", 1),
+        ("text", "Anti-Foo antibody                  RRID:AB_123456", "", 2),
+        ("text", "    with a continuation flowing beyond one trap range", "", 3),
+        ("text", "Bar protein             Sigma      RRID:SCR_004422", "", 4),
+    ]
+    pdf = pd.DataFrame(
+        [("d0", [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for (k, t, m, o) in doc
+        ])],
+        columns=["doc_id", "spans"],
+    )
+    rows = _nested_rows(extract_nested_batch(pdf, with_colspans=True))
+    spanning = [
+        c for r in rows for c in r
+        if c["colspan"] == 2 and "continuation flowing" in c["content"]
+    ]
+    assert spanning, rows
+    # the folded cell anchors at its max-overlap column (the RRID cell) and
+    # absorbs the empty middle column its segment physically covers
+    assert spanning[0]["content"].startswith("RRID:AB_123456")
+    # non-empty neighbors are never absorbed: the Bar row stays colspan 1
+    bar = next(r for r in rows if r[0]["content"].startswith("Bar"))
+    assert [c["colspan"] for c in bar] == [1, 1, 1]
+
+
+def test_unevidenced_span_stays_colspan_one():
+    """A gold colspan whose content stays inside ONE trap range has no
+    physical evidence — emitted as colspan 1 (documented deviation)."""
+    tbl = {
+        "name": "short",
+        "rows": [
+            [_cell("REAGENT and RESOURCE"), _cell("SOURCE"),
+             _cell("IDENTIFIER")],
+            [_cell("Anti-Foo antibody"), _cell("Abcam"),
+             _cell("RRID:AB_123456")],
+            [_cell("Bar protein"), _cell("tiny", 2)],  # 'tiny' fits in col 1
+        ],
+    }
+    rows = _nested_rows(
+        extract_nested_batch(_pdf_of(tbl), merge_rows=False,
+                             with_colspans=True)
+    )
+    bar = next(r for r in rows if r[0]["content"].startswith("Bar"))
+    assert [(c["content"], c["colspan"]) for c in bar] == [
+        ("Bar protein", 1), ("tiny", 1), ("", 1)
+    ]
+
+
+def test_grits_grid_rowspan_occupancy():
+    """GriTS grid expansion honors rowspan occupancy: identity on dict
+    tables with rowspans scores 1.0, and dropping the covered filler row's
+    alignment costs recall."""
+    dict_rows = ROWSPAN_TBL["rows"]  # raw gold cells incl. rowspan attrs
+    assert grits_factored(dict_rows, dict_rows) == (1.0, 1.0, 1.0, 1.0)
+    # the factored metric's grid expansion (occupancy) makes the plain
+    # expanded grid and the raw rowspan dict shape score as identical
+    p, r, f1, ub = grits_factored(gold_table_grid(ROWSPAN_TBL), dict_rows)
+    assert (p, r, f1, ub) == (1.0, 1.0, 1.0, 1.0)
+    # the positional variant (no occupancy expansion) sees the extra filler
+    # cell — strictly less credit, never more
+    assert grits_content(gold_table_grid(ROWSPAN_TBL), dict_rows)[2] < 1.0

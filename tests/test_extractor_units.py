@@ -97,9 +97,22 @@ def test_assign_columns_max_overlap_and_fallback():
     col_e = np.array([10, 30, 50])
     seg_s = np.array([2, 22, 45, 12])
     seg_e = np.array([8, 28, 60, 18])  # last seg sits in the gap after col0
-    got = _assign_columns(seg_s, seg_e, col_s, col_e)
+    got, first, last = _assign_columns(seg_s, seg_e, col_s, col_e)
     assert list(got[:3]) == [0, 1, 2]
     assert got[3] == 0  # fallback: rightmost column starting <= seg start
+    # non-spanning segments: extent == assigned column (fallback included)
+    assert list(first) == [0, 1, 2, 0] and list(last) == [0, 1, 2, 0]
+
+
+def test_assign_columns_extents_span_multiple_traps():
+    col_s = np.array([0, 20, 40])
+    col_e = np.array([10, 30, 50])
+    seg_s = np.array([2, 25])
+    seg_e = np.array([28, 50])  # seg0 spans cols 0-1; seg1 spans cols 1-2
+    best, first, last = _assign_columns(seg_s, seg_e, col_s, col_e)
+    assert list(first) == [0, 1]
+    assert list(last) == [1, 2]
+    assert list(best) == [0, 2]  # max overlap: 8 in col0 vs 6 in col1; 10 in col2 vs 5 in col1
 
 
 # ---- merge votes ---------------------------------------------------------------
