@@ -35,8 +35,11 @@ HEADLINE = [
     "doc_fingerprints",
     "cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "media_metadata",
     "extract_spans",
+    "extract_spans_anchor",
+    "extract_nested_colspans",
 ]
 
 
