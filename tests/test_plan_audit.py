@@ -70,3 +70,15 @@ def test_ngram_self_join_shuffles_hashes_not_text(spark):
     assert not any("[sh#" in ln for ln in key_lines), key_lines
     # and no string shingle column survives anywhere in the physical plan
     assert "sh#" not in plan
+
+
+def test_simhash_signature_is_map_side(spark):
+    """The simhash signature is a per-row function of the token set and
+    must compute with ZERO exchanges (the naive explode→distinct→groupBy
+    shape shuffles the whole token stream twice at 100 TB)."""
+    from key_resource_table_extractor_spark.operators import dedup
+    from key_resource_table_extractor_spark.plans.audit import explain_str
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = explain_str(dedup.simhash_df(docs))
+    assert "Exchange" not in plan, plan
