@@ -193,6 +193,71 @@ ORDER BY doc_a, doc_b
 
 
 # --------------------------------------------------------------------------
+# benchmark decontamination (n-gram containment vs a held-out probe set)
+# --------------------------------------------------------------------------
+
+def decontaminate_against_probes(
+    docs: DataFrame, n: int = 3
+) -> DataFrame:
+    """Flag training documents that share any word n-gram with a held-out
+    probe (benchmark) set — the standard eval-decontamination pass a
+    training-data pipeline runs before a corpus ships. The probe split here
+    is a deterministic md5 slice of ``doc_id`` (an engine-agnostic stand-in
+    for a real benchmark table; swap the predicate for a join against one).
+
+    Scale shape: probe n-grams are hashed to int64 MAP-SIDE and the probe
+    side is tiny relative to the corpus (benchmarks are ~10^5 docs against
+    10^12), so the containment join is a BROADCAST semi-join — the training
+    corpus never shuffles. Returns (doc_id, n_contaminated) per flagged doc.
+    """
+    w = _words()
+    hashed = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i + 1, n))),
+    )
+    is_probe = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ) == "0"
+    sh = (
+        docs.where(F.size(w) >= n)
+        .select("doc_id", is_probe.alias("probe"), F.explode(hashed).alias("h"))
+        .distinct()
+    )
+    probe_sh = sh.where(F.col("probe")).select("h").distinct()
+    return (
+        sh.where(~F.col("probe"))
+        .join(F.broadcast(probe_sh), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .orderBy("doc_id")
+    )
+
+
+def q_decontamination_check(spark, sf_dir):
+    return decontaminate_against_probes(load(spark, sf_dir, "documents"))
+
+
+SQL_DECONTAMINATION_CHECK = """
+WITH w AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS probe,
+         string_split_regex(trim(text), '\\s+') AS wl
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, probe, array_to_string(wl[i:i+2], ' ') AS sh
+  FROM w, UNNEST(range(1, len(wl) - 1)) AS t(i)
+  WHERE len(wl) >= 3
+), probe_sh AS (
+  SELECT DISTINCT sh FROM sh WHERE probe
+)
+SELECT doc_id, count(*) AS n_contaminated
+FROM sh JOIN probe_sh USING (sh)
+WHERE NOT probe
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH banding (Spark-only; hash functions engine-specific)
 # --------------------------------------------------------------------------
 
@@ -386,6 +451,7 @@ def q_simhash_near_dups(spark, sf_dir):
 QUERIES = {
     "dedupe_prefix_fingerprint": q_dedupe_prefix_fingerprint,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "decontamination_check": q_decontamination_check,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_near_dups": q_simhash_near_dups,
 }
@@ -393,6 +459,7 @@ QUERIES = {
 ORACLE = {
     "dedupe_prefix_fingerprint": SQL_DEDUPE_PREFIX_FINGERPRINT,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "decontamination_check": SQL_DECONTAMINATION_CHECK,
     # minhash_lsh_pairs / simhash_near_dups: engine-specific hash functions —
     # rows-only driver check; semantic oracle lives in tests/test_dedup.py
 }

@@ -750,6 +750,36 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Per-language fixed-quota deterministic sample (O3/O4 stratified
+    variant): a training-data pipeline draws balanced per-stratum subsets
+    (per language/source/domain) for eval sets and ablations. Rank within
+    each stratum by a content-independent hash of the key (seeded shuffle
+    analog, same md5 trick as ``deterministic_sample``) and keep the first
+    K — one shuffle on the stratum key, identical rows on any cluster."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+) WHERE rk <= 20 ORDER BY lang, doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # similarity_match_join — J7 bag-of-words coverage theta join with greedy
 # best-match (row_number) — reference GROBID↔GS matcher analog
@@ -920,6 +950,7 @@ QUERIES = {
     "sketch_distinct_users": q_sketch_distinct_users,
     "sketch_value_percentiles": q_sketch_value_percentiles,
     "deterministic_sample": q_deterministic_sample,
+    "stratified_sample": q_stratified_sample,
     "similarity_match_join": q_similarity_match_join,
     "similarity_match_join_1to1": q_similarity_match_join_1to1,
     "supplier_balance_by_nation": q_supplier_balance_by_nation,
@@ -944,6 +975,7 @@ QUERIES = {
 ORACLE = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "similarity_match_join": SQL_SIMILARITY_MATCH_JOIN,
     "similarity_match_join_1to1": SQL_SIMILARITY_MATCH_JOIN_1TO1,
     "supplier_balance_by_nation": SQL_SUPPLIER_BALANCE_BY_NATION,

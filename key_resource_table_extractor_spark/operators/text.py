@@ -265,8 +265,45 @@ FROM f GROUP BY source ORDER BY source
 """
 
 
+def q_vocab_top_ngrams(spark, sf_dir):
+    """Vocabulary induction: top word-bigrams by DOCUMENT frequency (not
+    raw count — df is the signal tokenizer/vocab pipelines rank by, and it
+    is boilerplate-robust). Per-doc distinct first (map-side array op),
+    then one short-key count; deterministic total order (df desc, ngram).
+    At 100 TB the per-ngram partial counts aggregate map-side and only the
+    (ngram, count) pairs shuffle — the classic vocab-count job."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
+    )
+    return (
+        docs.where(F.size(w) >= 2)
+        .select("doc_id", F.explode(F.array_distinct(bigrams)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "ngram")
+        .limit(50)
+    )
+
+
+SQL_VOCAB_TOP_NGRAMS = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS wl FROM documents
+), b AS (
+  SELECT DISTINCT doc_id, array_to_string(wl[i:i+1], ' ') AS ngram
+  FROM w, UNNEST(range(1, len(wl))) AS t(i)
+  WHERE len(wl) >= 2
+)
+SELECT ngram, count(*) AS df
+FROM b GROUP BY ngram ORDER BY df DESC, ngram LIMIT 50
+"""
+
+
 QUERIES = {
     "token_counts_by_lang": q_token_counts_by_lang,
+    "vocab_top_ngrams": q_vocab_top_ngrams,
     "subword_token_stats": q_subword_token_stats,
     "curated_corpus": q_curated_corpus,
     "quality_scores_by_source": q_quality_scores_by_source,
@@ -276,6 +313,7 @@ QUERIES = {
 
 ORACLE = {
     "token_counts_by_lang": SQL_TOKEN_COUNTS_BY_LANG,
+    "vocab_top_ngrams": SQL_VOCAB_TOP_NGRAMS,
     "subword_token_stats": SQL_SUBWORD_TOKEN_STATS,
     "curated_corpus": SQL_CURATED_CORPUS,
     "quality_scores_by_source": SQL_QUALITY_SCORES_BY_SOURCE,
