@@ -107,10 +107,12 @@ def ngram_jaccard_pairs(
         F.sequence(F.lit(0), F.size(w) - n),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i + 1, n))),
     )
-    sh = (
-        docs.where(F.size(w) >= n)
-        .select(F.col("doc_id"), F.explode(hashed).alias("h"))
-        .distinct()
+    # per-doc dedup happens MAP-SIDE (array_distinct before the explode):
+    # the documents table has one row per doc_id (primary key), so a global
+    # `.distinct()` — a full (doc_id, hash) exchange — would dedupe nothing
+    # the in-row array_distinct doesn't already cover
+    sh = docs.where(F.size(w) >= n).select(
+        F.col("doc_id"), F.explode(F.array_distinct(hashed)).alias("h")
     )
     # the (doc_id, h) table feeds three consumers (self-join a/b sides and
     # doc-frequency) and is deliberately NOT persisted: A/B-measured, the
@@ -262,26 +264,37 @@ GROUP BY doc_id ORDER BY doc_id
 # --------------------------------------------------------------------------
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
-    """One row per doc with MINHASH_PERMS min-hash columns (single pass).
+    """One row per doc with MINHASH_PERMS min-hash columns — fully MAP-SIDE.
 
-    Shingles are hashed to int64 map-side BEFORE the distinct/groupBy —
-    at 100 TB the shuffle carries (doc_id, hash) pairs, never shingle text.
+    Like ``simhash_df``, the signature is a per-row function of the shingle
+    set: each permutation's min is an ``array_min`` over the in-row hash
+    array. The previous shape (explode → distinct → 32-aggregate groupBy)
+    shuffled every (doc_id, shingle-hash) pair twice; this computes the
+    identical signatures (A/B-verified) with zero exchanges — at 100 TB the
+    shingle stream never leaves the mapper.
+
+    The hash array is routed through a one-element ``explode`` (a Generate
+    node) so it materializes ONCE per row: 32 column expressions referencing
+    a projected alias would each inline (and re-build) the array, but a
+    Generate output is an attribute that downstream projections share.
     """
     w = _words()
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i + 1, n))),
+    hs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i + 1, n))),
+        )
     )
-    hashed = (
-        docs.where(F.size(w) >= n)
-        .select(F.col("doc_id"), F.explode(sh).alias("h"))
-        .distinct()
+    base = docs.where(F.size(w) >= n).select(
+        "doc_id", F.explode(F.array(hs)).alias("__hs")
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
+    cols = [
+        F.array_min(
+            F.transform(F.col("__hs"), lambda h: F.xxhash64(F.lit(i), h))
+        ).alias(f"mh{i}")
         for i in range(MINHASH_PERMS)
     ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    return base.select("doc_id", *cols)
 
 
 def minhash_lsh_pairs(

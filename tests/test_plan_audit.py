@@ -82,3 +82,14 @@ def test_simhash_signature_is_map_side(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = explain_str(dedup.simhash_df(docs))
     assert "Exchange" not in plan, plan
+
+
+def test_minhash_signatures_are_map_side(spark):
+    """Minhash signatures, like simhash, are per-row functions of the
+    shingle set: zero exchanges in their plan."""
+    from key_resource_table_extractor_spark.operators import dedup
+    from key_resource_table_extractor_spark.plans.audit import explain_str
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = explain_str(dedup.minhash_signatures(docs))
+    assert "Exchange" not in plan, plan
