@@ -65,15 +65,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_extract_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nested result-JSON variant of the flagship (reference S7 shape)."""
+    """Nested result-JSON variant of the flagship (reference S7 shape).
+    Salted like the flat path: the documents scan packs into a handful of
+    partitions, which would serialize the mapInPandas stage."""
     spans = _spans_from_documents(spark, sf_dir)
+    spans = job.salted_repartition(
+        spans, spark.sparkContext.defaultParallelism
+    )
     return job.extract_nested(spans)
 
 
 def q_extract_nested_colspans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested output in the gold-JSON cell shape ({"content","colspan"});
-    full-width spanning rows are recovered as colspan=ncols cells."""
+    spanning cells recovered from measured column extents (full-width
+    divider rows and physically-evident mid-row spans)."""
     spans = _spans_from_documents(spark, sf_dir)
+    spans = job.salted_repartition(
+        spans, spark.sparkContext.defaultParallelism
+    )
     return job.extract_nested(spans, with_colspans=True)
 
 
