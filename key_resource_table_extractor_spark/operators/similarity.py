@@ -327,6 +327,75 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (cluster → within-cluster cosine pruning)
+# --------------------------------------------------------------------------
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.97,
+    nlist: int = IVF_NLIST,
+    refine_iterations: int = 1,
+) -> DataFrame:
+    """Semantic deduplication over an embedding column (the SemDeDup recipe,
+    Abbas et al. 2023): k-means-cluster the corpus, compute pairwise cosine
+    ONLY within clusters, and drop every vector that has a near-duplicate
+    (cosine >= threshold) with a smaller ``vec_id`` — the deterministic
+    keep-one rule. Returns the kept ``(vec_id, cid)`` rows.
+
+    100 TB shape: the coarse quantizer is nlist rows on the driver (with a
+    distributed Lloyd pass); assignment is a map-only single-literal scorer;
+    the pair space is bounded per cluster ((n/nlist)² · nlist « n²) and the
+    self-join shuffles on the short ``cid`` key. Cross-cluster duplicates
+    are missed by construction — the documented SemDeDup recall trade-off
+    (raise nlist for tighter clusters, or run twice with different seeds).
+    """
+    cents = (
+        ivf_refined_centroids(emb, nlist, refine_iterations)
+        if refine_iterations
+        else ivf_centroids(emb, nlist)
+    )
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        ivf_assign_expr(F.col("embedding"), cents).alias("cid"),
+    )
+    a = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+    )
+    dropped = (
+        a.join(b, "cid")
+        .where(F.col("id_a") > F.col("id_b"))  # a has a smaller-id neighbor
+        .where(cosine_expr(F.col("ea"), F.col("eb")) >= threshold)
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "cid")
+        .orderBy("vec_id")
+    )
+
+
+def q_semantic_dedup(spark, sf_dir):
+    # bounded output for the driver: per-cluster corpus vs kept counts
+    emb = load(spark, sf_dir, "embeddings")
+    kept = semantic_dedup(emb, threshold=0.9)
+    return (
+        kept.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("vec_id").alias("first_kept"),
+        )
+        .orderBy("cid")
+    )
+
+
+# --------------------------------------------------------------------------
 # embedding-cosine near-dup pairs (dedup flavor; DuckDB-oracled)
 # --------------------------------------------------------------------------
 
@@ -364,12 +433,14 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "semantic_dedup": q_semantic_dedup,
     "embedding_near_dups": q_embedding_near_dups,
 }
 
 ORACLE = {
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
-    # ann_lsh_topk / ann_ivf_topk: bucketing is engine-specific — rows-only
-    # check; recall-vs-brute-force oracles in tests/test_similarity.py
+    # ann_lsh_topk / ann_ivf_topk / semantic_dedup: bucketing and the coarse
+    # quantizer are engine-specific — rows-only check; semantic oracles
+    # (recall-vs-brute-force, planted-duplicate) in tests/test_similarity.py
 }

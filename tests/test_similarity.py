@@ -113,3 +113,53 @@ def test_bruteforce_topk_self_consistency(spark, emb):
         lst.sort()
         assert [rk for rk, _ in lst] == [1, 2, 3, 4]
         assert all(lst[i][1] >= lst[i + 1][1] for i in range(len(lst) - 1))
+
+
+def test_semantic_dedup_plants_and_keeps(spark, emb):
+    """SemDeDup oracle: planted exact-duplicate embeddings are dropped in
+    favor of the smallest vec_id; sufficiently distinct vectors survive;
+    output is deterministic under repartitioning."""
+    from pyspark.sql import functions as F
+
+    base = emb.limit(40)
+    # plant exact duplicates of vectors 0 and 1 at high ids
+    dup0 = base.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    dup1 = base.where(F.col("vec_id") == 1).select(
+        (F.col("vec_id") + 10_001).alias("vec_id"), "embedding", "label"
+    )
+    docs = base.unionByName(dup0).unionByName(dup1)
+    kept = similarity.semantic_dedup(docs, threshold=0.999).collect()
+    kept_ids = {r["vec_id"] for r in kept}
+    # originals kept, planted copies dropped
+    assert 0 in kept_ids and 1 in kept_ids
+    assert 10_000 not in kept_ids and 10_001 not in kept_ids
+    # nothing else disappears at a near-exact threshold unless it has an
+    # exact twin: all 40 base ids survive
+    assert {r["vec_id"] for r in kept} == {
+        r["vec_id"] for r in base.collect()
+    }
+    # deterministic under partitioning
+    again = similarity.semantic_dedup(
+        docs.repartition(5), threshold=0.999
+    ).collect()
+    assert sorted((r["vec_id"], r["cid"]) for r in kept) == sorted(
+        (r["vec_id"], r["cid"]) for r in again
+    )
+
+
+def test_semantic_dedup_threshold_monotone(spark, emb):
+    """Lowering the threshold can only drop MORE vectors (the kept set is
+    anti-monotone in the threshold)."""
+    strict = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(emb, threshold=0.99).collect()
+    }
+    loose = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(emb, threshold=0.6).collect()
+    }
+    assert loose <= strict
+    # the keeper of any duplicate chain is its minimum: vec_id 0 never drops
+    assert 0 in loose
