@@ -52,6 +52,12 @@ def main(argv=None):
     p.add_argument("--gap-min-spaces", type=int, default=None,
                    help="space-run length that counts as a column gap "
                         "(default 2)")
+    p.add_argument("--output-mode", default="spans",
+                   choices=["spans", "nested", "nested-colspans"],
+                   help="spans = checkpointed flat span table (default); "
+                        "nested / nested-colspans = one result-JSON row per "
+                        "doc (the reference's S7 sink shape), single-pass "
+                        "write without bucket checkpointing")
     args = p.parse_args(argv)
 
     def _ints(s):
@@ -68,6 +74,28 @@ def main(argv=None):
             inp = job.synthesize_spans(spark, args.n_docs, seed=args.seed)
         else:
             p.error("one of --input / --n-docs required")
+        if args.output_mode != "spans":
+            t0 = time.time()
+            parts = (
+                args.partitions
+                or spark.sparkContext.defaultParallelism
+            )
+            nested = job.extract_nested(
+                job.salted_repartition(inp, parts, args.salt),
+                with_colspans=(args.output_mode == "nested-colspans"),
+                row_model=args.row_model,
+                excepted_lines=_ints(args.excepted_lines),
+                excepted_pages=_ints(args.excepted_pages),
+                gap_min_spaces=args.gap_min_spaces,
+            )
+            nested.write.mode("overwrite").parquet(args.out)
+            out_rows = spark.read.parquet(args.out).count()
+            print(json.dumps({
+                "output_mode": args.output_mode,
+                "wall_sec": round(time.time() - t0, 2),
+                "output_rows": out_rows,
+            }))
+            return 0
         t0 = time.time()
         summary = job.run_extraction(
             spark, inp, args.out, args.checkpoint, run_id=args.run_id,

@@ -144,3 +144,33 @@ def test_read_output_prunes_bucket_partitions(spark, tmp_path):
     all_rows = job.read_output(spark, out_dir).count()
     one = pruned.count()
     assert 0 < one < all_rows
+
+
+def test_cli_nested_output_mode(spark, tmp_path):
+    """--output-mode nested-colspans writes the S7 result-JSON table and
+    every result parses into the reference wrapper shape."""
+    import json as _json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "nested")
+    r = subprocess.run(
+        [sys.executable, "scripts/run_job.py", "--n-docs", "60",
+         "--out", out, "--checkpoint", str(tmp_path / "cp"),
+         "--master", "local[2]", "--output-mode", "nested-colspans"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["output_mode"] == "nested-colspans"
+    rows = spark.read.parquet(out).collect()
+    assert summary["output_rows"] == len(rows) > 0
+    for row in rows:
+        res = _json.loads(row["result"])
+        assert res["paper_id"] == row["doc_id"]
+        for page in res["result"]["pages"]:
+            for tbl in page["tables"]:
+                for cells in tbl["rows"]:
+                    assert all(
+                        set(c) >= {"content", "colspan"} for c in cells
+                    )
