@@ -217,7 +217,7 @@ def _column_union(starts: np.ndarray, ends: np.ndarray):
     return col_s, col_e
 
 
-def _assign_columns(seg_s, seg_e, col_s, col_e):
+def _assign_columns(seg_s, seg_e, col_s, col_e, with_extents: bool = True):
     """Max-overlap column per segment, leftmost tie, rightmost-start fallback.
 
     Returns ``(best, first, last)``: the assigned column plus the physical
@@ -225,6 +225,8 @@ def _assign_columns(seg_s, seg_e, col_s, col_e):
     (the interval-overlap data the spanning-cell recovery reads; reference
     models spanning cells as their own boxes, table_model.py:239-264).
     For segments overlapping no column, first == last == best (fallback).
+    ``with_extents=False`` skips the extent pass (first/last are None) —
+    the flat span output never reads them and the kernel is hot.
     """
     ce = col_e.astype(np.int64).copy()
     ce[-1] = max(ce[-1], int(seg_e.max()))  # last column extends (reference
@@ -237,6 +239,8 @@ def _assign_columns(seg_s, seg_e, col_s, col_e):
     if none.any():
         fb = np.searchsorted(col_s, seg_s[none], side="right") - 1
         best[none] = np.clip(fb, 0, len(col_s) - 1)
+    if not with_extents:
+        return best, None, None
     pos = ov > 0
     first = pos.argmax(axis=1)
     last = pos.shape[1] - 1 - pos[:, ::-1].argmax(axis=1)
@@ -293,6 +297,7 @@ def _extract_doc_regions(
     merge_rows: bool = True,
     excepted_pages: list[int] | None = None,
     row_model: str | None = None,
+    with_extents: bool = False,
 ) -> int:
     """Emit one doc's regions into the output accumulator. Returns #tables.
 
@@ -339,26 +344,39 @@ def _extract_doc_regions(
         ncols = len(col_s)
         if ncols < spec.MIN_COLUMNS:
             continue
-        col_of, col_first, col_last = _assign_columns(ss, se, col_s, col_e)
+        col_of, col_first, col_last = _assign_columns(
+            ss, se, col_s, col_e, with_extents
+        )
         # cell grid (rows = physical lines of the region); gf/gl carry each
         # cell's physical column extent (min first / max last trap range its
         # segments overlap) for spanning-cell recovery in the nested output
+        # (skipped entirely on the flat path — the kernel is hot)
         nl = len(lines_idx)
         grid = np.full((nl, ncols), "", dtype=object)
-        gf = np.tile(np.arange(ncols, dtype=np.int64), (nl, 1))
-        gl = gf.copy()
         local = sl - lo_i
-        for k in range(len(sl)):
-            r, c = local[k], col_of[k]
-            grid[r, c] = st[k] if grid[r, c] == "" else grid[r, c] + " " + st[k]
-            gf[r, c] = min(gf[r, c], col_first[k])
-            gl[r, c] = max(gl[r, c], col_last[k])
+        if with_extents:
+            gf = np.tile(np.arange(ncols, dtype=np.int64), (nl, 1))
+            gl = gf.copy()
+            for k in range(len(sl)):
+                r, c = local[k], col_of[k]
+                grid[r, c] = (
+                    st[k] if grid[r, c] == "" else grid[r, c] + " " + st[k]
+                )
+                gf[r, c] = min(gf[r, c], col_first[k])
+                gl[r, c] = max(gl[r, c], col_last[k])
+        else:
+            for k in range(len(sl)):
+                r, c = local[k], col_of[k]
+                grid[r, c] = (
+                    st[k] if grid[r, c] == "" else grid[r, c] + " " + st[k]
+                )
         nonempty = (grid != "").any(axis=1)
         if not nonempty.any():
             continue
         rows = grid[nonempty]
-        rows_f = gf[nonempty]
-        rows_l = gl[nonempty]
+        if with_extents:
+            rows_f = gf[nonempty]
+            rows_l = gl[nonempty]
         row_lines = lines_idx[nonempty]
         hdr = is_header[row_lines]
         mode = row_model or ("votes" if merge_rows else "none")
@@ -374,16 +392,30 @@ def _extract_doc_regions(
         gid = np.cumsum(~merge) - 1
         ngroups = gid[-1] + 1
         folded = np.full((ngroups, ncols), "", dtype=object)
-        folded_f = np.tile(np.arange(ncols, dtype=np.int64), (ngroups, 1))
-        folded_l = folded_f.copy()
-        for k in range(len(rows)):
-            g = gid[k]
-            for c in range(ncols):
-                v = rows[k, c]
-                if v != "":
-                    folded[g, c] = v if folded[g, c] == "" else folded[g, c] + " " + v
-                    folded_f[g, c] = min(folded_f[g, c], rows_f[k, c])
-                    folded_l[g, c] = max(folded_l[g, c], rows_l[k, c])
+        if with_extents:
+            folded_f = np.tile(np.arange(ncols, dtype=np.int64), (ngroups, 1))
+            folded_l = folded_f.copy()
+            for k in range(len(rows)):
+                g = gid[k]
+                for c in range(ncols):
+                    v = rows[k, c]
+                    if v != "":
+                        folded[g, c] = (
+                            v if folded[g, c] == ""
+                            else folded[g, c] + " " + v
+                        )
+                        folded_f[g, c] = min(folded_f[g, c], rows_f[k, c])
+                        folded_l[g, c] = max(folded_l[g, c], rows_l[k, c])
+        else:
+            for k in range(len(rows)):
+                g = gid[k]
+                for c in range(ncols):
+                    v = rows[k, c]
+                    if v != "":
+                        folded[g, c] = (
+                            v if folded[g, c] == ""
+                            else folded[g, c] + " " + v
+                        )
         first_of_group = np.empty(len(gid), dtype=bool)
         first_of_group[0] = True
         first_of_group[1:] = gid[1:] != gid[:-1]
@@ -425,8 +457,9 @@ def _extract_doc_regions(
                     out["row"].append(g)
                     out["col"].append(c)
                     out["fullspan"].append(bool(grp_fullspan[g]))
-                    out["cfirst"].append(int(folded_f[g, c]))
-                    out["clast"].append(int(folded_l[g, c]))
+                    if with_extents:
+                        out["cfirst"].append(int(folded_f[g, c]))
+                        out["clast"].append(int(folded_l[g, c]))
             else:
                 j = int(ev_payload[ix])
                 out["doc_id"].append(doc_id)
@@ -440,8 +473,9 @@ def _extract_doc_regions(
                 out["row"].append(-1)
                 out["col"].append(-1)
                 out["fullspan"].append(False)
-                out["cfirst"].append(-1)
-                out["clast"].append(-1)
+                if with_extents:
+                    out["cfirst"].append(-1)
+                    out["clast"].append(-1)
         n_tables += 1
     return n_tables
 
@@ -462,6 +496,7 @@ def extract_columnar(
     excepted_pages: list[int] | None = None,
     row_model: str | None = None,
     gap_min_spaces: int = spec.GAP_MIN_SPACES,
+    with_extents: bool = False,
 ) -> dict:
     """Extraction over flat columnar span arrays for a batch of docs.
     Returns a dict of output columns (lists / numpy arrays), including the
@@ -469,6 +504,11 @@ def extract_columnar(
 
     ``span_doc`` maps each span to its doc index in ``doc_ids``. Spans need
     not be pre-sorted; we sort by (doc, offset) here.
+
+    ``with_extents=True`` additionally carries per-cell physical column
+    extents (``cfirst``/``clast``) for spanning-cell recovery — only the
+    colspan-aware nested renderer needs them, and the extra per-cell work
+    costs ~20% kernel throughput, so the flat path skips them.
     """
     order = np.lexsort((offsets, span_doc))
     span_doc, kinds, texts = span_doc[order], kinds[order], texts[order]
@@ -502,8 +542,10 @@ def extract_columnar(
     out: dict[str, list] = {
         "doc_id": [], "kind": [], "text": [], "media_ref": [], "offset": [],
         "table": [], "row": [], "col": [], "fullspan": [],
-        "cfirst": [], "clast": [],
     }
+    if with_extents:
+        out["cfirst"] = []
+        out["clast"] = []
     n_tables = 0
     n_errors = 0
     # per-doc slices (lines and media are doc-sorted)
@@ -533,6 +575,7 @@ def extract_columnar(
                 merge_rows=merge_rows,
                 excepted_pages=excepted_pages,
                 row_model=row_model,
+                with_extents=with_extents,
             )
         except Exception:  # per-doc isolation (reference stores err_msg)
             n_errors += 1
@@ -545,8 +588,9 @@ def extract_columnar(
             out["row"].append(-1)
             out["col"].append(-1)
             out["fullspan"].append(False)
-            out["cfirst"].append(-1)
-            out["clast"].append(-1)
+            if with_extents:
+                out["cfirst"].append(-1)
+                out["clast"].append(-1)
 
     # per-batch lineage/metrics row (aggregated into the checkpoint table by
     # job.run_extraction — replaces the reference's Postgres job metrics)
@@ -576,8 +620,9 @@ def extract_columnar(
         out["row"].append(-1)
         out["col"].append(-1)
         out["fullspan"].append(False)
-        out["cfirst"].append(-1)
-        out["clast"].append(-1)
+        if with_extents:
+            out["cfirst"].append(-1)
+            out["clast"].append(-1)
 
     # seq: 0-based per doc in emission order (docs are emitted contiguously),
     # computed from run lengths — no pandas groupby on the hot path
@@ -686,6 +731,7 @@ def extract_nested_batch(
         excepted_pages=excepted_pages,
         row_model=row_model,
         gap_min_spaces=gap_min_spaces,
+        with_extents=with_colspans,
     )
     docs: dict[str, dict] = {}
     fullspan: dict[tuple, bool] = {}
@@ -697,9 +743,12 @@ def extract_nested_batch(
         tbl = d.setdefault(out["table"][i], {})
         row = tbl.setdefault(out["row"][i], {})
         row[out["col"][i]] = out["text"][i]
-        key = (out["doc_id"][i], out["table"][i], out["row"][i])
-        fullspan[key] = out["fullspan"][i]
-        extents[(*key, out["col"][i])] = (out["cfirst"][i], out["clast"][i])
+        if with_colspans:
+            key = (out["doc_id"][i], out["table"][i], out["row"][i])
+            fullspan[key] = out["fullspan"][i]
+            extents[(*key, out["col"][i])] = (
+                out["cfirst"][i], out["clast"][i]
+            )
     rows = []
     for doc_id in sorted(docs):
         pages = []
