@@ -301,9 +301,57 @@ FROM b GROUP BY ngram ORDER BY df DESC, ngram LIMIT 50
 """
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signal: per-doc repeated-bigram
+    fraction (1 - distinct/total bigrams), aggregated per source. The
+    fraction is a pure MAP-SIDE array expression (no explode, no shuffle
+    beyond the final short-key agg) — the cheapest of the Gopher repetition
+    rules, and the shape all of them share at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
+    )
+    rep = 1 - F.size(F.array_distinct(bigrams)) / F.size(bigrams)
+    return (
+        docs.where(F.size(w) >= 2)
+        .select("source", rep.alias("rep"))
+        .groupBy("source")
+        .agg(
+            F.round(F.avg("rep"), 4).alias("avg_rep"),
+            F.sum(F.when(F.col("rep") > 0.1, 1).otherwise(0)).alias(
+                "n_repetitive"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_REPETITION_STATS = """
+WITH b AS (
+  SELECT source,
+         1 - len(list_distinct(bl)) / CAST(len(bl) AS DOUBLE) AS rep
+  FROM (
+    SELECT source,
+           [array_to_string(wl[i:i+1], ' ')
+            FOR i IN range(1, len(wl))] AS bl
+    FROM (
+      SELECT source, string_split_regex(trim(text), '\\s+') AS wl
+      FROM documents
+    ) WHERE len(wl) >= 2
+  )
+)
+SELECT source, round(avg(rep), 4) AS avg_rep,
+       sum(CASE WHEN rep > 0.1 THEN 1 ELSE 0 END) AS n_repetitive
+FROM b GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "token_counts_by_lang": q_token_counts_by_lang,
     "vocab_top_ngrams": q_vocab_top_ngrams,
+    "repetition_stats": q_repetition_stats,
     "subword_token_stats": q_subword_token_stats,
     "curated_corpus": q_curated_corpus,
     "quality_scores_by_source": q_quality_scores_by_source,
@@ -314,6 +362,7 @@ QUERIES = {
 ORACLE = {
     "token_counts_by_lang": SQL_TOKEN_COUNTS_BY_LANG,
     "vocab_top_ngrams": SQL_VOCAB_TOP_NGRAMS,
+    "repetition_stats": SQL_REPETITION_STATS,
     "subword_token_stats": SQL_SUBWORD_TOKEN_STATS,
     "curated_corpus": SQL_CURATED_CORPUS,
     "quality_scores_by_source": SQL_QUALITY_SCORES_BY_SOURCE,
