@@ -264,6 +264,219 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# passage-level duplication stats (exact-substring dedup signal)
+# --------------------------------------------------------------------------
+
+def dup_passage_stats(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Per-document fraction of word ``n``-gram passages that also occur in
+    at least one OTHER document — the passage-level signal behind
+    exact-substring training-data dedup (a doc-granular reduction of the
+    suffix-array approach: instead of excising shared spans, score each doc
+    by how much of it is boilerplate shared with the rest of the corpus, so
+    a curation pass can drop or trim the worst offenders).
+
+    Scale shape: shingles are hashed to int64 MAP-SIDE (``xxhash64``), so
+    the only wide exchanges carry (doc_id, hash) pairs. The document
+    frequency comes from a ``groupBy(h)`` — which gets map-side partial
+    aggregation, so a boilerplate shingle present in 10^9 docs is combined
+    per-mapper instead of hot-spotting one reducer (the reason this is a
+    groupBy + join-back rather than a single ``count over (partition by
+    h)`` window: windows have no partial agg and would funnel every row of
+    a hot shingle through one task). The join back on ``h`` reuses the
+    groupBy's partitioning on one side and AQE handles residual skew.
+    """
+    w = _words()
+    hashed = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i + 1, n))),
+    )
+    sh = (
+        docs.where(F.size(w) >= n)
+        .select("doc_id", F.explode(hashed).alias("h"))
+        .distinct()
+    )
+    doc_freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(doc_freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") > 1).cast("long")).alias("n_dup_shingles"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_shingles") / F.col("n_shingles"), 4),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_dup_passage_stats(spark, sf_dir):
+    return dup_passage_stats(load(spark, sf_dir, "documents"))
+
+
+SQL_DUP_PASSAGE_STATS = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS wl FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(wl[i:i+4], ' ') AS sh
+  FROM w, UNNEST(range(1, len(wl) - 3)) AS t(i)
+  WHERE len(wl) >= 5
+), doc_freq AS (
+  SELECT sh, count(*) AS df FROM sh GROUP BY sh
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_shingles,
+       round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) / count(*), 4)
+           AS dup_fraction
+FROM sh JOIN doc_freq USING (sh)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup clusters: connected components over fingerprint-collision edges
+# --------------------------------------------------------------------------
+
+CC_MAX_ITERS = 25
+
+
+def dedup_clusters(
+    docs: DataFrame, fp_len: int = 40, max_iters: int = CC_MAX_ITERS
+) -> DataFrame:
+    """Group near-duplicate documents into clusters via connected components
+    and elect a canonical keeper per cluster (min doc_id) — the
+    canonicalization step every LSH-style dedup needs: band collisions give
+    PAIRS, but "keep one copy" requires the transitive closure (A~B on one
+    key, B~C on another must keep one of {A,B,C}, not two).
+
+    Edges are star edges per fingerprint key (every doc links to the
+    key-group's min doc): same components as the full clique, but O(group)
+    edges instead of O(group²) — the guard that makes a 10^7-member
+    boilerplate cluster representable at all. Two independent keys (head
+    and tail fingerprint — stand-ins for any LSH band keys) make components
+    genuinely transitive rather than per-key cliques.
+
+    Labels iterate min-label propagation restricted to docs incident to at
+    least one edge (singletons never change and are not reported), with an
+    eager ``localCheckpoint`` per round so plan lineage stays flat across
+    iterations. Convergence is detected by the strictly-decreasing label
+    sum — one scalar per round to the driver, no data. Star-edge graphs
+    converge in O(chain length across keys) rounds; ``max_iters`` bounds
+    pathological inputs.
+
+    Returns (doc_id, cluster_id, cluster_size) for docs in clusters of
+    size > 1 — matched exactly by a recursive-CTE DuckDB oracle.
+    """
+    head = F.md5(F.lower(F.substring("text", 1, fp_len)))
+    tail = F.md5(F.lower(F.expr(f"right(text, {fp_len})")))
+    keys = docs.select("doc_id", head.alias("k")).unionByName(
+        docs.select("doc_id", tail.alias("k"))
+    )
+    roots = keys.groupBy("k").agg(F.min("doc_id").alias("root"))
+    star = (
+        keys.join(roots, "k")
+        .where(F.col("doc_id") != F.col("root"))
+        .select(F.col("root").alias("src"), F.col("doc_id").alias("dst"))
+        .distinct()
+    )
+    edges = _persist_bounded(
+        "cc_edges",
+        star.unionByName(
+            star.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ),
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("doc_id"), F.col("src").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    if prev_sum is None:
+        # no duplicate edges at this scale: empty, correctly-typed result
+        return labels.select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            F.lit(1).cast("long").alias("cluster_size"),
+        )
+    for _ in range(max_iters):
+        cand = (
+            edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nl"))
+            .withColumnRenamed("dst", "doc_id")
+        )
+        labels = (
+            labels.join(cand, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nl", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("label")).first()[0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    return dedup_clusters(load(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         md5(lower(substr(text, 1, 40))) AS hk,
+         md5(lower(right(text, 40))) AS tk
+  FROM documents
+), keys AS (
+  SELECT doc_id, hk AS k FROM base
+  UNION ALL
+  SELECT doc_id, tk AS k FROM base
+), roots AS (
+  SELECT k, min(doc_id) AS root FROM keys GROUP BY k
+), star AS (
+  SELECT DISTINCT r.root AS src, kk.doc_id AS dst
+  FROM keys kk JOIN roots r USING (k) WHERE kk.doc_id <> r.root
+), edges AS (
+  SELECT src, dst FROM star UNION SELECT dst, src FROM star
+), nodes AS (
+  SELECT DISTINCT src AS doc_id FROM edges
+), reach(doc_id, root) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
+), labs AS (
+  SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
+), sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM labs GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id, s.cluster_size
+FROM labs l JOIN sizes s USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH banding (Spark-only; hash functions engine-specific)
 # --------------------------------------------------------------------------
 
@@ -469,6 +682,8 @@ QUERIES = {
     "dedupe_prefix_fingerprint": q_dedupe_prefix_fingerprint,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "decontamination_check": q_decontamination_check,
+    "dup_passage_stats": q_dup_passage_stats,
+    "dedup_clusters": q_dedup_clusters,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_near_dups": q_simhash_near_dups,
 }
@@ -477,6 +692,8 @@ ORACLE = {
     "dedupe_prefix_fingerprint": SQL_DEDUPE_PREFIX_FINGERPRINT,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "decontamination_check": SQL_DECONTAMINATION_CHECK,
+    "dup_passage_stats": SQL_DUP_PASSAGE_STATS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     # minhash_lsh_pairs / simhash_near_dups: engine-specific hash functions —
     # rows-only driver check; semantic oracle lives in tests/test_dedup.py
 }

@@ -207,3 +207,85 @@ def test_minhash_signature_stability(spark, docs):
         for r in dedup.minhash_signatures(docs.repartition(3)).collect()
     }
     assert s1 == s2
+
+
+# --------------------------------------------------------------------------
+# dup_passage_stats: passage-level duplication fractions
+# --------------------------------------------------------------------------
+
+
+def test_dup_passage_stats_planted_shared_passage(spark):
+    # docs 1 and 2 share an identical 8-word opening passage; doc 3 shares
+    # nothing. With n=5, the shared passage contributes 4 shared shingles.
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique tail one for the first document here"),
+            (2, shared + " totally different ending words over there now"),
+            (3, "nothing in common with anything else at all whatsoever"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.dup_passage_stats(docs).collect()}
+    # shared 8-word prefix → shingles at offsets 0..3 are common to both
+    assert rows[1]["n_dup_shingles"] == 4
+    assert rows[2]["n_dup_shingles"] == 4
+    assert rows[3]["n_dup_shingles"] == 0
+    assert rows[3]["dup_fraction"] == 0.0
+    for r in rows.values():
+        assert 0.0 <= r["dup_fraction"] <= 1.0
+        assert r["n_shingles"] >= r["n_dup_shingles"]
+
+
+def test_dup_passage_stats_identical_docs_fraction_one(spark):
+    text = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id bigint, text string"
+    )
+    for r in dedup.dup_passage_stats(docs).collect():
+        assert r["dup_fraction"] == 1.0
+
+
+# --------------------------------------------------------------------------
+# dedup_clusters: connected components over fingerprint-collision edges
+# --------------------------------------------------------------------------
+
+
+def _pad(s):
+    # make texts long enough that 40-char head/tail fingerprints are
+    # independent regions
+    return s + " filler" * 20
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    # A~B share a head fingerprint, B~C share a tail fingerprint: only the
+    # transitive closure puts all three in ONE cluster keyed by min doc_id.
+    head = "identical forty character opening text segment right here"
+    tail = "matching forty character closing text segment right here"
+    docs = spark.createDataFrame(
+        [
+            (10, head + " middle one " + "x" * 60 + " ending alpha alpha"),
+            (20, head + " middle two " + "y" * 60 + " " + tail),
+            (30, "different opening z " + "z" * 60 + " " + tail),
+            (40, _pad("a singleton document unrelated to every other one")),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = dedup.dedup_clusters(docs).collect()
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in rows}
+    assert got == {10: (10, 3), 20: (10, 3), 30: (10, 3)}  # 40 = singleton
+
+
+def test_dedup_clusters_no_edges_is_empty(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "first all alone text " + "unique-a " * 20),
+            (2, "second also alone " + "unique-b " * 20),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = dedup.dedup_clusters(docs)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "cluster_id", "cluster_size",
+    ]
