@@ -40,6 +40,10 @@ HEADLINE = [
     "extract_spans",
     "extract_spans_anchor",
     "extract_nested_colspans",
+    "semantic_dedup",
+    "dup_passage_stats",
+    "dedup_clusters",
+    "asof_view_attribution",
 ]
 
 

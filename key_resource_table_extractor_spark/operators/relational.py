@@ -945,8 +945,152 @@ SELECT id_a, id_b, coverage FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# as-of join (nearest preceding match per key) — J-family custom operator
+# --------------------------------------------------------------------------
+
+def asof_join(
+    left: "DataFrame",
+    right: "DataFrame",
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    tiebreak: str | None = None,
+) -> "DataFrame":
+    """For each left row, attach the right row with the greatest ``ts`` not
+    exceeding the left row's ``ts`` within the same ``key`` — the classic
+    as-of join (event attribution, point-in-time lookups, slowly-changing
+    dims), which Spark lacks as a built-in.
+
+    Implementation is the union-and-forward-fill shape, NOT a range join:
+    tag both sides, union, and take ``last(right_payload, ignorenulls=True)``
+    over a ROWS window ordered by (ts, side, tiebreak) with right rows
+    sorting before left rows at equal ``ts`` (as-of is inclusive). This
+    costs ONE shuffle on ``key`` — a range join would explode to
+    O(|L_k|·|R_k|) candidate pairs per key before picking the max, which at
+    web scale is the difference between a window pass and a cross-product.
+    All expressions are built-ins inside whole-stage codegen.
+
+    Determinism: if the right side can carry several rows at the same
+    (key, ts), pass ``tiebreak`` (last-wins ascending) or pre-dedupe;
+    otherwise which of the tied rows wins is plan-dependent.
+
+    ``right_cols`` are the right-side columns to attach; names must not
+    collide with left columns (alias on the way in).
+    """
+    l_cols = [c for c in left.columns]
+    r_payload = [c for c in right_cols if c != ts]
+    r_schema = dict(right.dtypes)
+    l_schema = dict(left.dtypes)
+    tb = (
+        F.col(tiebreak)
+        if tiebreak is not None
+        else F.lit(None).cast("long")
+    )
+    lhs = left.select(
+        F.col(key).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__tb"),
+        *[F.col(c) for c in l_cols],
+        *[F.lit(None).cast(r_schema[c]).alias(c) for c in r_payload],
+    )
+    rhs = right.select(
+        F.col(key).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        tb.cast("long").alias("__tb"),
+        *[
+            F.lit(None).cast(l_schema[c]).alias(c)
+            for c in l_cols
+        ],
+        *[F.col(c) for c in r_payload],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__side").asc(),
+            F.col("__tb").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lhs.unionByName(rhs).select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in r_payload
+        ],
+        F.last(
+            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("__f_ts"),
+    )
+    return filled.where(F.col("__side") == 1).select(
+        *[F.col(c) for c in l_cols],
+        F.col("__f_ts").alias(f"{ts}_right"),
+        *[F.col(f"__f_{c}").alias(c) for c in r_payload],
+    )
+
+
+def q_asof_view_attribution(spark, sf_dir):
+    """Attribute each click to the most recent preceding view by the same
+    user. Views are pre-deduped to one row per (user, ts) keeping the max
+    event_id (both engines), so the as-of pick is fully deterministic; the
+    gap is exact integer microseconds (timestamps are µs-granular in both
+    engines — a seconds-granularity diff would diverge on boundary-counting
+    vs floor semantics)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_id"),
+            F.max_by("value", "event_id").alias("view_value"),
+        )
+    )
+    joined = asof_join(
+        clicks,
+        views,
+        key="user_id",
+        ts="ts",
+        right_cols=["view_id", "view_value"],
+        tiebreak="view_id",
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, ts_right, ts)").alias("gap_us"),
+        "view_id",
+        "view_value",
+    ).orderBy("click_id")
+
+
+SQL_ASOF_VIEW_ATTRIBUTION = """
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, ts FROM events
+  WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS view_id,
+         max_by(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT c.click_id, c.user_id,
+       date_diff('microsecond', v.ts, c.ts) AS gap_us,
+       v.view_id, v.view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+ORDER BY c.click_id
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "asof_view_attribution": q_asof_view_attribution,
     "sketch_distinct_users": q_sketch_distinct_users,
     "sketch_value_percentiles": q_sketch_value_percentiles,
     "deterministic_sample": q_deterministic_sample,
@@ -974,6 +1118,7 @@ QUERIES = {
 
 ORACLE = {
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "asof_view_attribution": SQL_ASOF_VIEW_ATTRIBUTION,
     "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "similarity_match_join": SQL_SIMILARITY_MATCH_JOIN,

@@ -93,3 +93,25 @@ def test_minhash_signatures_are_map_side(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = explain_str(dedup.minhash_signatures(docs))
     assert "Exchange" not in plan, plan
+
+
+def test_asof_join_is_one_window_pass_no_join(spark):
+    """The as-of join must compile to a window pass over the union — ONE
+    shuffle on the key, zero Join nodes (the range-join formulation would
+    explode candidate pairs per key at scale)."""
+    from key_resource_table_extractor_spark.plans.audit import explain_str
+
+    left = spark.range(10).selectExpr(
+        "id % 3 AS k", "timestamp_seconds(id * 60) AS ts", "id AS lv"
+    )
+    right = spark.range(10).selectExpr(
+        "id % 3 AS k", "timestamp_seconds(id * 45) AS ts", "id AS rv"
+    )
+    plan = explain_str(
+        relational.asof_join(left, right, key="k", ts="ts", right_cols=["rv"])
+    )
+    assert "Window" in plan
+    assert "Join" not in plan, plan
+    # exactly one exchange: the window's hashpartitioning on the key
+    n_exchanges = plan.count(") Exchange")
+    assert n_exchanges == 1, plan
