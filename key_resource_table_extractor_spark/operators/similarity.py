@@ -210,10 +210,20 @@ def ivf_refined_centroids(
     cents = ivf_centroids(emb, nlist)
     dim = len(cents[0][1]) if cents else 0
     for _ in range(iterations):
+        # materialize the assignment BEFORE exploding: Generate's
+        # whole-stage codegen re-evaluates required child expressions per
+        # OUTPUT row, so without the barrier the (interpreted-HOF) scorer
+        # runs dim× per vector — A/B: 5-7s → sub-second at sf0.1. The
+        # optimizer's CollapseProject would merge two plain projections
+        # back together, hence a real materialization point (at warehouse
+        # scale this is the per-iteration assignment-table write).
+        assigned = emb.select(
+            ivf_assign_expr(F.col("embedding"), cents).alias("cid"),
+            "embedding",
+        ).localCheckpoint(eager=False)
         means = (
-            emb.select(
-                ivf_assign_expr(F.col("embedding"), cents).alias("cid"),
-                F.posexplode("embedding").alias("pos", "v"),
+            assigned.select(
+                "cid", F.posexplode("embedding").alias("pos", "v")
             )
             .groupBy("cid", "pos")
             .agg(F.avg("v").alias("m"))
@@ -349,34 +359,68 @@ def semantic_dedup(
     are missed by construction — the documented SemDeDup recall trade-off
     (raise nlist for tighter clusters, or run twice with different seeds).
     """
+    from .dedup import _persist_bounded
+
     cents = (
         ivf_refined_centroids(emb, nlist, refine_iterations)
         if refine_iterations
         else ivf_centroids(emb, nlist)
     )
-    assigned = emb.select(
-        "vec_id",
-        "embedding",
-        ivf_assign_expr(F.col("embedding"), cents).alias("cid"),
+    # persist: the nlist-literal centroid scorer is the dominant per-row
+    # cost and `assigned` feeds THREE consumers (both self-join sides and
+    # the keep anti-join) — without a cache each one re-scores every row
+    # (exchange reuse does not cover multi-consumer intermediates here).
+    # At warehouse scale this is the "materialize the assignment table
+    # once" step.
+    assigned = _persist_bounded(
+        "semantic_dedup_assigned",
+        emb.select(
+            "vec_id",
+            "embedding",
+            ivf_assign_expr(F.col("embedding"), cents).alias("cid"),
+        ),
     )
-    a = assigned.select(
-        F.col("cid"), F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"),
-    )
-    b = assigned.select(
-        F.col("cid"), F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
-    )
+    # within-cluster near-dup detection is a per-cluster GEMM
+    # (applyInPandas → Arrow batch → one blocked U·Uᵀ per cluster), not an
+    # expression-level self-join: Catalyst evaluates array higher-order
+    # functions interpreted (no codegen), so (n/nlist)²·nlist pairwise
+    # cosines via F.aggregate were the dominant cost (A/B: 9s → <2s at
+    # sf0.1). The shuffle key and volume are unchanged (embeddings move on
+    # ``cid`` exactly once); row-block chunking bounds the similarity
+    # matrix to O(block·n) per cluster so a hot cluster cannot OOM an
+    # executor.
+    def _drop_near_dups(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        u = m / norms[:, None]
+        n = len(pdf)
+        drop = np.zeros(n, dtype=bool)
+        block = 1024
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            s = u[lo:hi] @ u.T  # (block, n)
+            # row i (global lo+i) is dropped if some j < lo+i has sim >= t
+            for i in range(hi - lo):
+                g = lo + i
+                if g and (s[i, :g] >= threshold).any():
+                    drop[g] = True
+        return pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy()[drop]})
+
     dropped = (
-        a.join(b, "cid")
-        .where(F.col("id_a") > F.col("id_b"))  # a has a smaller-id neighbor
-        .where(cosine_expr(F.col("ea"), F.col("eb")) >= threshold)
-        .select(F.col("id_a").alias("vec_id"))
-        .distinct()
+        assigned.select("cid", "vec_id", "embedding")
+        .groupBy("cid")
+        .applyInPandas(_drop_near_dups, "vec_id long")
     )
     return (
-        assigned.join(dropped, "vec_id", "left_anti")
-        .select("vec_id", "cid")
+        # project BEFORE the anti-join: its shuffle carries (vec_id, cid),
+        # never the embedding arrays
+        assigned.select("vec_id", "cid")
+        .join(dropped, "vec_id", "left_anti")
         .orderBy("vec_id")
     )
 
