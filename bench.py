@@ -44,6 +44,7 @@ HEADLINE = [
     "dup_passage_stats",
     "dedup_clusters",
     "asof_view_attribution",
+    "sequence_packing",
 ]
 
 

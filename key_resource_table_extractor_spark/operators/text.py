@@ -348,8 +348,102 @@ FROM b GROUP BY source ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# sequence packing — greedy fixed-length packing of tokenized documents
+# --------------------------------------------------------------------------
+
+def sequence_packing(
+    docs, seq_len: int = 256, shards: int = 8
+):
+    """Pack tokenized documents into fixed-length training sequences — the
+    step between a curated corpus and a training dataloader. Greedy
+    next-fit in deterministic doc_id order within each shard: a document
+    opens a new bin when it would overflow ``seq_len``; documents longer
+    than ``seq_len`` are truncated to it (standard practice). Returns one
+    row per document: (doc_id, shard, bin_id, n_tokens).
+
+    Scale shape: sharding is ``doc_id % shards`` so packing parallelism is
+    chosen independently of input partitioning (at 10^12 docs, shards ≈
+    executors × a few); each shard packs with ONE pass over its docs
+    inside ``applyInPandas`` — a running-sum-with-reset is inherently
+    sequential, which is exactly why it is sharded rather than windowed
+    (a global window would serialize the whole corpus through one task).
+    Token counts are computed map-side with built-ins before the shuffle;
+    only (doc_id, tok) pairs move. The DuckDB oracle replays the same
+    greedy fold as a recursive CTE.
+    """
+    import pandas as pd
+
+    toks = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(shards)).alias("shard"),
+        F.least(_tokens(), F.lit(seq_len)).alias("tok"),
+    )
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        bins = []
+        fill = seq_len + 1  # force a new bin on the first doc
+        b = -1
+        for t in pdf["tok"]:
+            if fill + t > seq_len:
+                b += 1
+                fill = int(t)
+            else:
+                fill += int(t)
+            bins.append(b)
+        out = pdf[["doc_id", "shard", "tok"]].copy()
+        out["bin_id"] = bins
+        return out[["doc_id", "shard", "bin_id", "tok"]]
+
+    return toks.groupBy("shard").applyInPandas(
+        _pack, "doc_id bigint, shard bigint, bin_id bigint, tok bigint"
+    )
+
+
+def q_sequence_packing(spark, sf_dir):
+    # bounded driver output: per-shard packing efficiency
+    packed = sequence_packing(load(spark, sf_dir, "documents"))
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.max("bin_id") + 1).alias("n_bins"),
+            F.sum("tok").alias("total_tokens"),
+            F.round(
+                F.sum("tok") / ((F.max("bin_id") + 1) * 256), 4
+            ).alias("utilization"),
+        )
+        .orderBy("shard")
+    )
+
+
+SQL_SEQUENCE_PACKING = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         least(len(string_split_regex(trim(text), '\\s+')), 256) AS tok,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents
+), pack(shard, rn, doc_id, tok, fill, bin_id) AS (
+  SELECT shard, rn, doc_id, tok, tok, CAST(0 AS BIGINT)
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.tok,
+         CASE WHEN p.fill + t.tok > 256 THEN t.tok ELSE p.fill + t.tok END,
+         CASE WHEN p.fill + t.tok > 256 THEN p.bin_id + 1 ELSE p.bin_id END
+  FROM pack p JOIN toks t ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       max(bin_id) + 1 AS n_bins,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       round(sum(tok) / ((max(bin_id) + 1) * 256), 4) AS utilization
+FROM pack GROUP BY shard ORDER BY shard
+"""
+
+
 QUERIES = {
     "token_counts_by_lang": q_token_counts_by_lang,
+    "sequence_packing": q_sequence_packing,
     "vocab_top_ngrams": q_vocab_top_ngrams,
     "repetition_stats": q_repetition_stats,
     "subword_token_stats": q_subword_token_stats,
@@ -361,6 +455,7 @@ QUERIES = {
 
 ORACLE = {
     "token_counts_by_lang": SQL_TOKEN_COUNTS_BY_LANG,
+    "sequence_packing": SQL_SEQUENCE_PACKING,
     "vocab_top_ngrams": SQL_VOCAB_TOP_NGRAMS,
     "repetition_stats": SQL_REPETITION_STATS,
     "subword_token_stats": SQL_SUBWORD_TOKEN_STATS,

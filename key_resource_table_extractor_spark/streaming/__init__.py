@@ -4,3 +4,7 @@ from .windowed_stats import (  # noqa: F401
     windowed_event_stats,
 )
 from .stream_dedup import dedup_stream, run_stream_dedup  # noqa: F401
+from .session_windows import (  # noqa: F401
+    run_session_window_stats,
+    session_window_stats,
+)

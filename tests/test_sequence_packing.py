@@ -1,0 +1,62 @@
+"""Packing invariants for the greedy fixed-length sequence packer: no bin
+overflows, docs pack in doc_id order within a shard, oversized docs are
+truncated into their own bin. The DuckDB gate cross-checks the full fold
+against a recursive-CTE replay of the same greedy rule."""
+
+from __future__ import annotations
+
+from key_resource_table_extractor_spark.operators.text import (
+    sequence_packing,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_bins_never_overflow_and_order_is_greedy(spark):
+    # one shard (shards=1): 4 docs of 3/4/4/2 words into seq_len=8
+    docs = _docs(
+        spark,
+        [
+            (0, "a b c"),          # bin 0 (fill 3)
+            (1, "a b c d"),        # bin 0 (fill 7)
+            (2, "a b c d"),        # 7+4>8 -> bin 1 (fill 4)
+            (3, "a b"),            # bin 1 (fill 6)
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in sequence_packing(docs, seq_len=8, shards=1).collect()
+    }
+    assert [out[i]["bin_id"] for i in range(4)] == [0, 0, 1, 1]
+    # per-bin fills respect the cap
+    fills = {}
+    for r in out.values():
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["tok"]
+    assert all(v <= 8 for v in fills.values())
+
+
+def test_oversized_doc_truncates_to_own_bin(spark):
+    docs = _docs(
+        spark,
+        [(0, "w " * 50), (1, "a b")],  # 50 words > seq_len=8
+    )
+    out = {
+        r["doc_id"]: r
+        for r in sequence_packing(docs, seq_len=8, shards=1).collect()
+    }
+    assert out[0]["tok"] == 8  # truncated to seq_len
+    assert out[0]["bin_id"] != out[1]["bin_id"]
+
+
+def test_shards_pack_independently(spark):
+    docs = _docs(spark, [(i, "a b c") for i in range(6)])
+    out = sequence_packing(docs, seq_len=4, shards=2).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+        assert r["shard"] == r["doc_id"] % 2
+    # each shard has 3 docs of 3 tokens, each in its own bin (3+3>4)
+    for rows in by_shard.values():
+        assert sorted(r["bin_id"] for r in rows) == [0, 1, 2]
