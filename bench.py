@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_clusters",
     "asof_view_attribution",
     "sequence_packing",
+    "domain_mixture_sample",
 ]
 
 

@@ -946,6 +946,96 @@ SELECT id_a, id_b, coverage FROM (
 
 
 # --------------------------------------------------------------------------
+# domain-mixture resampling (weighted source mixing for training corpora)
+# --------------------------------------------------------------------------
+
+def domain_mixture_sample(
+    docs: "DataFrame", weights: dict[str, float], key: str = "source"
+) -> "DataFrame":
+    """Resample a corpus to a target domain mixture (the Pile/Dolma-style
+    source-weighting step): given per-source weights, keep the LARGEST
+    subset realizing the target ratios without oversampling any source —
+    N = floor(min_i(count_i / w_i)) mixture units, quota_i = floor(w_i·N).
+    Weights need not be normalized (the math is scale-invariant); sources
+    absent from ``weights`` are dropped.
+
+    Fully declarative — no driver round trip: per-source counts and quotas
+    are a tiny aggregate joined back via broadcast, and the per-source
+    ranking is the same content-independent md5 hash-rank as
+    ``deterministic_sample`` (same rows selected on any cluster, any
+    partitioning). One shuffle on the source key for the rank window; the
+    quota side stays broadcast no matter the corpus size.
+    """
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in weights.items()], f"{key} string, w double"
+    )
+    counts = docs.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    n_units = (
+        counts.join(F.broadcast(wdf), key)
+        .agg(F.floor(F.min(F.col("cnt") / F.col("w"))).alias("n_units"))
+    )
+    quotas = (
+        counts.join(F.broadcast(wdf), key)
+        .crossJoin(F.broadcast(n_units))
+        .select(
+            key, F.floor(F.col("w") * F.col("n_units")).alias("quota")
+        )
+    )
+    rk_w = Window.partitionBy(key).orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(rk_w))
+        .join(F.broadcast(quotas), key)
+        .where(F.col("rk") <= F.col("quota"))
+        .select(key, "doc_id", "rk")
+    )
+
+
+def q_domain_mixture_sample(spark, sf_dir):
+    # target mixture: weight (i % 4) + 1 for srcN — non-uniform on purpose
+    weights = {f"src{i}": float(i % 4 + 1) for i in range(20)}
+    picked = domain_mixture_sample(
+        load(spark, sf_dir, "documents"), weights
+    )
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOMAIN_MIXTURE_SAMPLE = """
+WITH wts AS (
+  SELECT source, (CAST(substr(source, 4) AS INT) % 4) + 1.0 AS w
+  FROM (SELECT DISTINCT source FROM documents)
+  WHERE CAST(substr(source, 4) AS INT) < 20
+), counts AS (
+  SELECT source, count(*) AS cnt FROM documents GROUP BY source
+), n_units AS (
+  SELECT floor(min(cnt / w)) AS n FROM counts JOIN wts USING (source)
+), quotas AS (
+  SELECT source, floor(w * n) AS quota
+  FROM counts JOIN wts USING (source) CROSS JOIN n_units
+), ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+)
+SELECT r.source, CAST(count(*) AS BIGINT) AS n_kept,
+       min(r.doc_id) AS first_doc
+FROM ranked r JOIN quotas q ON r.source = q.source AND r.rk <= q.quota
+GROUP BY r.source ORDER BY r.source
+"""
+
+
+# --------------------------------------------------------------------------
 # as-of join (nearest preceding match per key) — J-family custom operator
 # --------------------------------------------------------------------------
 
@@ -1091,6 +1181,7 @@ ORDER BY c.click_id
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "asof_view_attribution": q_asof_view_attribution,
+    "domain_mixture_sample": q_domain_mixture_sample,
     "sketch_distinct_users": q_sketch_distinct_users,
     "sketch_value_percentiles": q_sketch_value_percentiles,
     "deterministic_sample": q_deterministic_sample,
@@ -1119,6 +1210,7 @@ QUERIES = {
 ORACLE = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "asof_view_attribution": SQL_ASOF_VIEW_ATTRIBUTION,
+    "domain_mixture_sample": SQL_DOMAIN_MIXTURE_SAMPLE,
     "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "similarity_match_join": SQL_SIMILARITY_MATCH_JOIN,
