@@ -957,37 +957,43 @@ def domain_mixture_sample(
     subset realizing the target ratios without oversampling any source —
     N = floor(min_i(count_i / w_i)) mixture units, quota_i = floor(w_i·N).
     Weights need not be normalized (the math is scale-invariant); sources
-    absent from ``weights`` are dropped.
+    absent from ``weights`` are dropped. A WEIGHTED source absent from the
+    corpus makes the mixture infeasible at any size — the result is empty
+    (count 0 → N = 0), not a silently ratio-violating subset.
 
     Fully declarative — no driver round trip: per-source counts and quotas
     are a tiny aggregate joined back via broadcast, and the per-source
     ranking is the same content-independent md5 hash-rank as
     ``deterministic_sample`` (same rows selected on any cluster, any
-    partitioning). One shuffle on the source key for the rank window; the
-    quota side stays broadcast no matter the corpus size.
+    partitioning). The quota join runs BEFORE the rank window, so only
+    rows from weighted sources enter the one shuffle — a corpus that is
+    mostly unweighted sources never pays for ranking them; the quota side
+    stays broadcast no matter the corpus size.
     """
     spark = docs.sparkSession
     wdf = spark.createDataFrame(
         [(k, float(v)) for k, v in weights.items()], f"{key} string, w double"
     )
     counts = docs.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
-    n_units = (
-        counts.join(F.broadcast(wdf), key)
-        .agg(F.floor(F.min(F.col("cnt") / F.col("w"))).alias("n_units"))
+    # left join FROM the weights: a weighted-but-absent source contributes
+    # cnt=0 and pins n_units (and therefore every quota) to zero
+    # (left-outer can only broadcast its RIGHT side — counts is the tiny
+    # per-source aggregate, so it is the hinted build side)
+    per_source = wdf.join(F.broadcast(counts), key, "left").select(
+        key, "w", F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
-    quotas = (
-        counts.join(F.broadcast(wdf), key)
-        .crossJoin(F.broadcast(n_units))
-        .select(
-            key, F.floor(F.col("w") * F.col("n_units")).alias("quota")
-        )
+    n_units = per_source.agg(
+        F.floor(F.min(F.col("cnt") / F.col("w"))).alias("n_units")
+    )
+    quotas = per_source.crossJoin(F.broadcast(n_units)).select(
+        key, F.floor(F.col("w") * F.col("n_units")).alias("quota")
     )
     rk_w = Window.partitionBy(key).orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
     return (
-        docs.withColumn("rk", F.row_number().over(rk_w))
-        .join(F.broadcast(quotas), key)
+        docs.join(F.broadcast(quotas), key)
+        .withColumn("rk", F.row_number().over(rk_w))
         .where(F.col("rk") <= F.col("quota"))
         .select(key, "doc_id", "rk")
     )
@@ -1062,8 +1068,12 @@ def asof_join(
     All expressions are built-ins inside whole-stage codegen.
 
     Determinism: if the right side can carry several rows at the same
-    (key, ts), pass ``tiebreak`` (last-wins ascending) or pre-dedupe;
-    otherwise which of the tied rows wins is plan-dependent.
+    (key, ts), pass ``tiebreak`` (last-wins ascending, any orderable type)
+    or pre-dedupe; otherwise which of the tied rows wins is plan-dependent.
+
+    Nulls: right rows with a NULL ``ts`` never match (the ANSI/DuckDB
+    ASOF contract — ``l.ts >= NULL`` is never true); left rows with a
+    NULL ``ts`` come back with no-match NULLs.
 
     ``right_cols`` are the right-side columns to attach; names must not
     collide with left columns (alias on the way in).
@@ -1072,16 +1082,22 @@ def asof_join(
     r_payload = [c for c in right_cols if c != ts]
     r_schema = dict(right.dtypes)
     l_schema = dict(left.dtypes)
+    # a NULL-ts right row would sort NULLS FIRST (i.e. "before all time")
+    # and forward-fill into left rows that have no true preceding match
+    right = right.where(F.col(ts).isNotNull())
+    # keep the tiebreak's own (orderable) type: casting to long would turn
+    # e.g. a string tiebreak into all-NULL and silently lose determinism
+    tb_type = r_schema[tiebreak] if tiebreak is not None else "long"
     tb = (
         F.col(tiebreak)
         if tiebreak is not None
-        else F.lit(None).cast("long")
+        else F.lit(None).cast(tb_type)
     )
     lhs = left.select(
         F.col(key).alias("__k"),
         F.col(ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast("long").alias("__tb"),
+        F.lit(None).cast(tb_type).alias("__tb"),
         *[F.col(c) for c in l_cols],
         *[F.lit(None).cast(r_schema[c]).alias(c) for c in r_payload],
     )
@@ -1089,7 +1105,7 @@ def asof_join(
         F.col(key).alias("__k"),
         F.col(ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        tb.cast("long").alias("__tb"),
+        tb.alias("__tb"),
         *[
             F.lit(None).cast(l_schema[c]).alias(c)
             for c in l_cols

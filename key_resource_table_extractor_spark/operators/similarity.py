@@ -216,11 +216,17 @@ def ivf_refined_centroids(
         # runs dim× per vector — A/B: 5-7s → sub-second at sf0.1. The
         # optimizer's CollapseProject would merge two plain projections
         # back together, hence a real materialization point (at warehouse
-        # scale this is the per-iteration assignment-table write).
+        # scale this is the per-iteration assignment-table write). persist
+        # (not localCheckpoint) so each iteration's copy is RELEASED at
+        # the end of its round — the assignment lineage is flat (one
+        # select over emb; centroids are literals), so nothing needs
+        # lineage truncation.
+        from pyspark import StorageLevel
+
         assigned = emb.select(
             ivf_assign_expr(F.col("embedding"), cents).alias("cid"),
             "embedding",
-        ).localCheckpoint(eager=False)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         means = (
             assigned.select(
                 "cid", F.posexplode("embedding").alias("pos", "v")
@@ -229,6 +235,7 @@ def ivf_refined_centroids(
             .agg(F.avg("v").alias("m"))
             .collect()
         )
+        assigned.unpersist()
         by_cid: dict[int, list] = {}
         for r in means:
             by_cid.setdefault(r["cid"], [0.0] * dim)[r["pos"]] = float(r["m"])
@@ -367,11 +374,11 @@ def semantic_dedup(
         else ivf_centroids(emb, nlist)
     )
     # persist: the nlist-literal centroid scorer is the dominant per-row
-    # cost and `assigned` feeds THREE consumers (both self-join sides and
-    # the keep anti-join) — without a cache each one re-scores every row
-    # (exchange reuse does not cover multi-consumer intermediates here).
-    # At warehouse scale this is the "materialize the assignment table
-    # once" step.
+    # cost and `assigned` feeds TWO consumers (the per-cluster GEMM input
+    # and the keep anti-join) — without a cache each one re-scores every
+    # row (exchange reuse does not cover multi-consumer intermediates
+    # here). At warehouse scale this is the "materialize the assignment
+    # table once" step.
     assigned = _persist_bounded(
         "semantic_dedup_assigned",
         emb.select(

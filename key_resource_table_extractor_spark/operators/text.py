@@ -352,8 +352,12 @@ FROM b GROUP BY source ORDER BY source
 # sequence packing — greedy fixed-length packing of tokenized documents
 # --------------------------------------------------------------------------
 
+PACK_SEQ_LEN = 256  # default training-sequence length; the query, the
+# utilization denominator, and the SQL oracle all derive from this
+
+
 def sequence_packing(
-    docs, seq_len: int = 256, shards: int = 8
+    docs, seq_len: int = PACK_SEQ_LEN, shards: int = 8
 ):
     """Pack tokenized documents into fixed-length training sequences — the
     step between a curated corpus and a training dataloader. Greedy
@@ -411,17 +415,18 @@ def q_sequence_packing(spark, sf_dir):
             (F.max("bin_id") + 1).alias("n_bins"),
             F.sum("tok").alias("total_tokens"),
             F.round(
-                F.sum("tok") / ((F.max("bin_id") + 1) * 256), 4
+                F.sum("tok") / ((F.max("bin_id") + 1) * PACK_SEQ_LEN), 4
             ).alias("utilization"),
         )
         .orderBy("shard")
     )
 
 
-SQL_SEQUENCE_PACKING = """
+SQL_SEQUENCE_PACKING = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, doc_id % 8 AS shard,
-         least(len(string_split_regex(trim(text), '\\s+')), 256) AS tok,
+         least(len(string_split_regex(trim(text), '\\s+')),
+               {PACK_SEQ_LEN}) AS tok,
          row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
   FROM documents
 ), pack(shard, rn, doc_id, tok, fill, bin_id) AS (
@@ -429,14 +434,17 @@ WITH RECURSIVE toks AS (
   FROM toks WHERE rn = 1
   UNION ALL
   SELECT t.shard, t.rn, t.doc_id, t.tok,
-         CASE WHEN p.fill + t.tok > 256 THEN t.tok ELSE p.fill + t.tok END,
-         CASE WHEN p.fill + t.tok > 256 THEN p.bin_id + 1 ELSE p.bin_id END
+         CASE WHEN p.fill + t.tok > {PACK_SEQ_LEN}
+              THEN t.tok ELSE p.fill + t.tok END,
+         CASE WHEN p.fill + t.tok > {PACK_SEQ_LEN}
+              THEN p.bin_id + 1 ELSE p.bin_id END
   FROM pack p JOIN toks t ON t.shard = p.shard AND t.rn = p.rn + 1
 )
 SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
        max(bin_id) + 1 AS n_bins,
        CAST(sum(tok) AS BIGINT) AS total_tokens,
-       round(sum(tok) / ((max(bin_id) + 1) * 256), 4) AS utilization
+       round(sum(tok) / ((max(bin_id) + 1) * {PACK_SEQ_LEN}), 4)
+           AS utilization
 FROM pack GROUP BY shard ORDER BY shard
 """
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession, functions as F
 
-from .windowed_stats import EVENTS_DDL
+from .windowed_stats import run_events_stream
 
 
 def session_window_stats(src, gap: str = "30 minutes",
@@ -56,17 +56,12 @@ def run_session_window_stats(
     max_files_per_trigger: int | None = 1,
 ):
     """Start the session-window stream; returns the StreamingQuery."""
-    reader = spark.readStream.schema(EVENTS_DDL).format("parquet")
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    src = reader.load(input_dir)
-    agg = session_window_stats(src, gap=gap, watermark=watermark)
-    writer = (
-        agg.writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
+    return run_events_stream(
+        spark,
+        lambda src: session_window_stats(src, gap=gap, watermark=watermark),
+        input_dir,
+        output_dir,
+        checkpoint_dir,
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -58,11 +58,36 @@ def run_windowed_event_stats(
     Append mode: a window row is written exactly once, when the watermark
     passes its end; later-than-watermark input rows are dropped.
     """
+    return run_events_stream(
+        spark,
+        lambda src: windowed_event_stats(
+            src, window=window, watermark=watermark
+        ),
+        input_dir,
+        output_dir,
+        checkpoint_dir,
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+
+def run_events_stream(
+    spark: SparkSession,
+    agg_fn,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = 1,
+):
+    """Shared runner scaffold for the event-stream aggregations (tumbling
+    windows, session windows): parquet file source with the events DDL,
+    append-mode parquet sink, availableNow trigger. One place to fix
+    trigger/checkpoint/option handling for every runner."""
     reader = spark.readStream.schema(EVENTS_DDL).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    src = reader.load(input_dir)
-    agg = windowed_event_stats(src, window=window, watermark=watermark)
+    agg = agg_fn(reader.load(input_dir))
     writer = (
         agg.writeStream.format("parquet")
         .option("path", output_dir)

@@ -52,3 +52,11 @@ def test_unweighted_sources_dropped_and_selection_is_stable(spark):
     assert "junk" not in srcs
     # N = min(20/2, 20/1) = 10 → quotas a=20, b=10
     assert len(ids1) == 30
+
+
+def test_weighted_source_missing_from_corpus_makes_mixture_empty(spark):
+    # a weighted source with zero corpus rows is infeasible at ANY size:
+    # the contract returns empty, not a ratio-violating subset
+    docs = _docs(spark, {"a": 100})
+    out = domain_mixture_sample(docs, {"a": 1.0, "missing": 1.0})
+    assert out.collect() == []
