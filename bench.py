@@ -46,6 +46,7 @@ HEADLINE = [
     "asof_view_attribution",
     "sequence_packing",
     "domain_mixture_sample",
+    "bm25_topk",
 ]
 
 

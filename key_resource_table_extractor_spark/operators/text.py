@@ -449,9 +449,129 @@ FROM pack GROUP BY shard ORDER BY shard
 """
 
 
+# --------------------------------------------------------------------------
+# BM25 lexical retrieval — the inverted-index complement to the embedding
+# ANN operators (find near-matches to probe/query documents by term
+# statistics; the standard retrieval scorer for decontamination sweeps and
+# eval-neighbor mining in training-data pipelines).
+# --------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(docs, n_queries: int = 5, k: int = 5):
+    """Top-``k`` BM25-scored candidates per query document (queries = the
+    ``n_queries`` smallest doc_ids; swap the predicate for a join against a
+    real probe table).
+
+    Scale shape: classic inverted-index retrieval — term frequencies are
+    one groupBy on (doc_id, hashed term); document frequency is a
+    partial-agg groupBy on the hash; the query side is tiny (probes are
+    ~10^5 against a 10^12 corpus) and BROADCAST onto the posting lists, so
+    the corpus-side tf table never shuffles for the scoring join. The
+    shuffled agg key is (query_id, cand_id). Ranking rounds the score to 6
+    decimals before ordering (ties then break by cand_id) so last-ulp
+    float-summation-order noise cannot flip ranks between engines.
+    """
+    wd = F.explode(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    ).alias("wd")
+    words = docs.select("doc_id", wd).select(
+        "doc_id", F.xxhash64("wd").alias("h")
+    )
+    tf = words.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("tf"))
+    dl = docs.select("doc_id", _tokens().alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    df = tf.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    q = tf.where(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"), "h"
+    )
+    cand = (
+        tf.join(F.broadcast(q), "h")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(df, "h")
+        .join(dl.withColumnRenamed("doc_id", "cand_doc"),
+              F.col("doc_id") == F.col("cand_doc"))
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        cand.select(
+            "query_id", F.col("doc_id").alias("cand_id"),
+            (idf * tf_part).alias("contrib"),
+        )
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    rk_w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(rk_w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id", "cand_id", "rk", F.round("score", 4).alias("score")
+        )
+        .orderBy("query_id", "rk")
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    return bm25_topk(load(spark, sf_dir, "documents"))
+
+
+SQL_BM25_TOPK = f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS wd
+  FROM documents
+), tf AS (
+  SELECT doc_id, wd, count(*) AS tf FROM words GROUP BY doc_id, wd
+), dl AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS dl
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), df AS (
+  SELECT wd, count(*) AS df FROM tf GROUP BY wd
+), scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+         sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * c.tf * ({BM25_K1} + 1)
+             / (c.tf + {BM25_K1} * (1 - {BM25_B}
+                                    + {BM25_B} * dl.dl / s.avgdl)))
+           AS score
+  FROM tf q
+  JOIN tf c ON q.wd = c.wd AND c.doc_id <> q.doc_id
+  JOIN df ON df.wd = q.wd
+  JOIN dl ON dl.doc_id = c.doc_id
+  CROSS JOIN stats s
+  WHERE q.doc_id < 5
+  GROUP BY q.doc_id, c.doc_id
+)
+SELECT query_id, cand_id, rk, round(score, 4) AS score
+FROM (
+  SELECT query_id, cand_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, cand_id) AS rk
+  FROM scored
+) WHERE rk <= 5 ORDER BY query_id, rk
+"""
+
+
 QUERIES = {
     "token_counts_by_lang": q_token_counts_by_lang,
     "sequence_packing": q_sequence_packing,
+    "bm25_topk": q_bm25_topk,
     "vocab_top_ngrams": q_vocab_top_ngrams,
     "repetition_stats": q_repetition_stats,
     "subword_token_stats": q_subword_token_stats,
@@ -464,6 +584,7 @@ QUERIES = {
 ORACLE = {
     "token_counts_by_lang": SQL_TOKEN_COUNTS_BY_LANG,
     "sequence_packing": SQL_SEQUENCE_PACKING,
+    "bm25_topk": SQL_BM25_TOPK,
     "vocab_top_ngrams": SQL_VOCAB_TOP_NGRAMS,
     "repetition_stats": SQL_REPETITION_STATS,
     "subword_token_stats": SQL_SUBWORD_TOKEN_STATS,

@@ -163,3 +163,28 @@ def test_semantic_dedup_threshold_monotone(spark, emb):
     assert loose <= strict
     # the keeper of any duplicate chain is its minimum: vec_id 0 never drops
     assert 0 in loose
+
+
+def test_bm25_ranks_rare_term_overlap_first(spark):
+    from key_resource_table_extractor_spark.operators.text import bm25_topk
+
+    # query doc 0 contains rare term "zebra"; doc 10 shares it, doc 11
+    # shares only ubiquitous terms -> doc 10 must outrank doc 11
+    common = "the quick brown fox jumps over lazy dogs"
+    docs = spark.createDataFrame(
+        [
+            (0, common + " zebra"),
+            (10, common + " zebra indeed"),
+            (11, common + " again and again"),
+            (12, common),
+            (13, common + " more filler words here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = bm25_topk(docs, n_queries=1, k=4).collect()
+    ranked = [r["cand_id"] for r in rows]
+    assert ranked[0] == 10, ranked
+    assert all(r["query_id"] == 0 for r in rows)
+    # scores are non-increasing in rank
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
