@@ -3,11 +3,13 @@
 ``entry(spark)`` runs the flagship key-resources-table extraction on a
 deterministic spans corpus derived from the sf0.001 documents table.
 ``queries()``/``oracle_sql()`` expose the SURVEY.md §2 operator inventory
-(relational/window/interval/dedup/similarity/text/multimodal) checked
-against DuckDB; non-SQL-expressible ops (the extraction cascade itself,
-MinHash/SimHash/LSH/IVF with engine-specific hashes and bucketing, and
-sketch aggregates) are rows-only and carry semantic pytest oracles
-(planted duplicates, recall-vs-brute-force, tolerance-vs-exact).
+(relational/window/interval/as-of joins, dedup incl. passage-level and
+connected-components clustering, similarity + BM25 retrieval, text
+analysis, sequence packing/chunking, mixture resampling, multimodal)
+checked against DuckDB; non-SQL-expressible ops (the extraction cascade
+itself, MinHash/SimHash/LSH/IVF/SemDeDup with engine-specific hashes and
+bucketing, and sketch aggregates) are rows-only and carry semantic pytest
+oracles (planted duplicates, recall-vs-brute-force, tolerance-vs-exact).
 """
 
 from __future__ import annotations

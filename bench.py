@@ -47,6 +47,7 @@ HEADLINE = [
     "sequence_packing",
     "domain_mixture_sample",
     "bm25_topk",
+    "chunk_documents",
 ]
 
 

@@ -568,10 +568,93 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# overlapping chunking — split documents into fixed-size token windows
+# (the embedding/RAG-pipeline splitter; the inverse of sequence_packing,
+# which JOINS short docs — this SPLITS long ones).
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+
+
+def chunk_documents(
+    docs, chunk: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP
+):
+    """One row per (doc, chunk window): windows of ``chunk`` tokens
+    starting every ``chunk - overlap`` tokens (the final window may be
+    shorter). Emits the window's position, length, and content md5 —
+    the downstream embedding stage reads the fingerprinted slice, the
+    lineage row stays small.
+
+    Scale shape: pure map-side fan-out — one projection computes the
+    token array once, ``posexplode`` over the start-position sequence
+    emits the windows, nothing shuffles. Average output amplification is
+    dl / (chunk - overlap) rows per doc, each O(1) wide.
+    """
+    if overlap >= chunk:
+        raise ValueError("overlap must be < chunk")
+    step = chunk - overlap
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select(
+        "doc_id", w.alias("wl"), F.size(w).alias("dl")
+    ).select(
+        "doc_id",
+        "wl",
+        "dl",
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("dl") - 1, F.lit(0)),
+                F.lit(step),
+            )
+        ).alias("chunk_idx", "start_tok"),
+    )
+    sliced = F.slice(F.col("wl"), F.col("start_tok") + 1, chunk)
+    return base.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.least(F.lit(chunk), F.col("dl") - F.col("start_tok")).alias(
+            "n_tok"
+        ),
+        F.md5(F.concat_ws(" ", sliced)).alias("chunk_md5"),
+    )
+
+
+def q_chunk_documents(spark, sf_dir):
+    return chunk_documents(load(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS wl,
+         len(string_split_regex(trim(lower(text)), '\\s+')) AS dl
+  FROM documents
+), starts AS (
+  SELECT doc_id, wl, dl,
+         CAST(t.i / {CHUNK_TOKENS - CHUNK_OVERLAP} AS BIGINT) AS chunk_idx,
+         t.i AS start_tok
+  FROM base,
+       UNNEST(range(0, greatest(dl, 1),
+                    {CHUNK_TOKENS - CHUNK_OVERLAP})) AS t(i)
+)
+SELECT doc_id, chunk_idx, CAST(start_tok AS INT) AS start_tok,
+       CAST(least({CHUNK_TOKENS}, dl - start_tok) AS INT) AS n_tok,
+       md5(array_to_string(
+           wl[start_tok + 1 : start_tok + {CHUNK_TOKENS}], ' '))
+         AS chunk_md5
+FROM starts ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "token_counts_by_lang": q_token_counts_by_lang,
     "sequence_packing": q_sequence_packing,
     "bm25_topk": q_bm25_topk,
+    "chunk_documents": q_chunk_documents,
     "vocab_top_ngrams": q_vocab_top_ngrams,
     "repetition_stats": q_repetition_stats,
     "subword_token_stats": q_subword_token_stats,
@@ -585,6 +668,7 @@ ORACLE = {
     "token_counts_by_lang": SQL_TOKEN_COUNTS_BY_LANG,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "bm25_topk": SQL_BM25_TOPK,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "vocab_top_ngrams": SQL_VOCAB_TOP_NGRAMS,
     "repetition_stats": SQL_REPETITION_STATS,
     "subword_token_stats": SQL_SUBWORD_TOKEN_STATS,

@@ -60,3 +60,27 @@ def test_shards_pack_independently(spark):
     # each shard has 3 docs of 3 tokens, each in its own bin (3+3>4)
     for rows in by_shard.values():
         assert sorted(r["bin_id"] for r in rows) == [0, 1, 2]
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from key_resource_table_extractor_spark.operators.text import (
+        chunk_documents,
+    )
+
+    # 10 tokens, chunk=4, overlap=1 -> starts 0,3,6,9; tail lengths 4,4,4,1
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")], "doc_id bigint, text string"
+    )
+    rows = sorted(
+        chunk_documents(docs, chunk=4, overlap=1).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [(r["start_tok"], r["n_tok"]) for r in rows] == [
+        (0, 4), (3, 4), (6, 4), (9, 1),
+    ]
+    # short doc -> exactly one full-doc chunk
+    short = spark.createDataFrame(
+        [(2, "a b")], "doc_id bigint, text string"
+    )
+    srows = chunk_documents(short, chunk=4, overlap=1).collect()
+    assert len(srows) == 1 and srows[0]["n_tok"] == 2
