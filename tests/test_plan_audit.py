@@ -115,3 +115,20 @@ def test_asof_join_is_one_window_pass_no_join(spark):
     # exactly one exchange: the window's hashpartitioning on the key
     n_exchanges = plan.count(") Exchange")
     assert n_exchanges == 1, plan
+
+
+def test_bm25_broadcasts_query_side(spark):
+    """BM25's scoring join must broadcast the (tiny) query/probe term set
+    onto the corpus posting lists — the corpus tf table must not shuffle
+    for that join."""
+    from key_resource_table_extractor_spark.operators.text import bm25_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert has_broadcast_join(bm25_topk(docs))
+
+
+def test_domain_mixture_broadcasts_quotas(spark):
+    """The quota side of the mixture join is a per-source aggregate and
+    must stay broadcast regardless of corpus size."""
+    df = relational.q_domain_mixture_sample(spark, SF_DIR)
+    assert has_broadcast_join(df)
