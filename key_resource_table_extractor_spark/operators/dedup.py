@@ -360,12 +360,14 @@ def dedup_clusters(
     genuinely transitive rather than per-key cliques.
 
     Labels iterate min-label propagation restricted to docs incident to at
-    least one edge (singletons never change and are not reported), with an
-    eager ``localCheckpoint`` per round so plan lineage stays flat across
-    iterations. Convergence is detected by the strictly-decreasing label
-    sum — one scalar per round to the driver, no data. Star-edge graphs
-    converge in O(chain length across keys) rounds; ``max_iters`` bounds
-    pathological inputs.
+    least one edge (singletons never change and are not reported). Each
+    round persists the new label table and releases the previous one, so
+    storage holds exactly one generation; the convergence probe (the
+    strictly-decreasing label sum — one scalar per round to the driver,
+    no data) doubles as the action that populates the cache, ONE Spark job
+    per round. Star-edge graphs converge in O(chain length across keys)
+    rounds; ``max_iters`` bounds pathological inputs (plan depth grows a
+    few nodes per round — irrelevant at that bound).
 
     Returns (doc_id, cluster_id, cluster_size) for docs in clusters of
     size > 1 — matched exactly by a recursive-CTE DuckDB oracle.
@@ -388,11 +390,13 @@ def dedup_clusters(
             star.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ),
     )
+    from pyspark import StorageLevel
+
     labels = (
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("doc_id"), F.col("src").alias("label"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     if prev_sum is None:
@@ -409,6 +413,7 @@ def dedup_clusters(
             .agg(F.min("label").alias("nl"))
             .withColumnRenamed("dst", "doc_id")
         )
+        prev = labels
         labels = (
             labels.join(cand, "doc_id", "left")
             .select(
@@ -417,12 +422,19 @@ def dedup_clusters(
                     F.col("label"), F.coalesce("nl", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # the probe action populates the new cache; only then release the
+        # previous generation (it fed the computation just performed)
         cur = labels.agg(F.sum("label")).first()[0]
+        prev.unpersist()
         if cur == prev_sum:
             break
         prev_sum = cur
+    # the final generation feeds the returned plan: hand it to the bounded
+    # slot so the NEXT invocation (bench best-of-N, the query gate)
+    # releases it instead of leaking one generation per call
+    labels = _persist_bounded("cc_labels", labels)
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
