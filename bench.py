@@ -48,6 +48,7 @@ HEADLINE = [
     "domain_mixture_sample",
     "bm25_topk",
     "chunk_documents",
+    "media_embed",
 ]
 
 

@@ -151,11 +151,170 @@ ORDER BY doc_id, frame_idx
 """
 
 
+# --------------------------------------------------------------------------
+# resize plumbing — payload → transformed payload (binary in, binary out)
+# --------------------------------------------------------------------------
+
+RESIZE_DDL = "doc_id bigint, out_w int, out_h int, payload binary"
+
+RESIZE_TARGET_W = 32
+RESIZE_TARGET_H = 32
+
+
+def resize_media(docs: DataFrame) -> DataFrame:
+    """Resize plumbing: binary payload in, TRANSFORMED binary payload out —
+    the shape every decode→resize→re-encode stage has. The pixel resample
+    is stubbed (no imaging libs; `decode_image_stub`) with a deterministic
+    byte-level reduction: the "resized" payload is the prefix proportional
+    to the target/source area ratio (min 1 byte). What is real: a
+    binary→binary `mapInPandas` stage (Arrow binary columns both ways,
+    bounded batches, map-only — payloads still never shuffle), with the
+    output payload byte-exactly checkable (the gate compares md5 of the
+    produced binary against DuckDB computing the same slice).
+    """
+    payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            meta = fake_decode_meta(pdf)
+            src_area = (meta["width"] * meta["height"]).to_numpy()
+            nb = meta["n_bytes"].to_numpy()
+            out_n = np.maximum(
+                (nb * RESIZE_TARGET_W * RESIZE_TARGET_H) // src_area, 1
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": np.full(len(pdf), RESIZE_TARGET_W, dtype="int32"),
+                    "out_h": np.full(len(pdf), RESIZE_TARGET_H, dtype="int32"),
+                    "payload": [
+                        p[: int(n)] for p, n in zip(pdf["payload"], out_n)
+                    ],
+                }
+            )
+
+    return payload.mapInPandas(fn, RESIZE_DDL)
+
+
+def q_media_resize(spark, sf_dir):
+    out = resize_media(load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "out_w",
+        "out_h",
+        F.length("payload").cast("int").alias("out_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    ).orderBy("doc_id")
+
+
+SQL_MEDIA_RESIZE = f"""
+-- DuckDB has no BLOB slice; the fixture text is ASCII, so the byte
+-- prefix equals the character prefix and md5(varchar) hashes the same
+-- UTF-8 bytes Spark's md5(binary) sees.
+WITH meta AS (
+  SELECT doc_id, text,
+         CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+         CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS w,
+         CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS h
+  FROM documents
+), sized AS (
+  SELECT doc_id, text,
+         greatest((nb * {RESIZE_TARGET_W} * {RESIZE_TARGET_H})
+                  // (w * h), 1) AS out_n
+  FROM meta
+)
+SELECT doc_id,
+       CAST({RESIZE_TARGET_W} AS INT) AS out_w,
+       CAST({RESIZE_TARGET_H} AS INT) AS out_h,
+       CAST(out_n AS INT) AS out_bytes,
+       md5(substr(text, 1, CAST(out_n AS INT))) AS payload_md5
+FROM sized ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# feature-extract plumbing — payload → fixed-dim float vector
+# --------------------------------------------------------------------------
+
+MEDIA_FEATURE_DIM = 16
+MEDIA_EMBED_DDL = "doc_id bigint, feature array<float>"
+
+
+def embed_media(docs: DataFrame) -> DataFrame:
+    """Feature-extraction plumbing: binary payload → fixed-dim float
+    vector, the schema/batch shape of any image/audio embedding stage.
+    The model forward pass is stubbed (deterministic arithmetic on the
+    payload length — `decode_image_stub` documents the real hook); the
+    real part is the binary→array<float> `mapInPandas` signature whose
+    output feeds the similarity/ANN operators unchanged.
+    """
+    payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            nb = pdf["payload"].str.len().to_numpy(dtype=np.int64)
+            i = np.arange(1, MEDIA_FEATURE_DIM + 1, dtype=np.int64)
+            feats = ((nb[:, None] * i[None, :]) % 97) / 97.0
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "feature": [row.astype("float32") for row in feats],
+                }
+            )
+
+    return payload.mapInPandas(fn, MEDIA_EMBED_DDL)
+
+
+def q_media_embed(spark, sf_dir):
+    # bounded, hash-stable driver output: per-doc feature checksum stats
+    out = embed_media(load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.round(
+            F.aggregate(
+                "feature", F.lit(0.0), lambda a, x: a + x
+            ),
+            4,
+        ).alias("feature_sum"),
+        F.round(F.array_max("feature").cast("double"), 4).alias(
+            "feature_max"
+        ),
+    ).orderBy("doc_id")
+
+
+SQL_MEDIA_EMBED = f"""
+WITH nb AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         CAST(((n * i) % 97) AS DOUBLE) / 97.0 AS v
+  FROM nb, UNNEST(range(1, {MEDIA_FEATURE_DIM} + 1)) AS t(i)
+)
+SELECT doc_id,
+       round(sum(CAST(CAST(v AS FLOAT) AS DOUBLE)), 4) AS feature_sum,
+       round(max(CAST(CAST(v AS FLOAT) AS DOUBLE)), 4) AS feature_max
+FROM feats GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "media_metadata": q_media_metadata,
     "media_frame_sample": q_media_frame_sample,
+    "media_resize": q_media_resize,
+    "media_embed": q_media_embed,
 }
 ORACLE = {
     "media_metadata": SQL_MEDIA_METADATA,
     "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
+    "media_resize": SQL_MEDIA_RESIZE,
+    "media_embed": SQL_MEDIA_EMBED,
 }

@@ -188,3 +188,45 @@ def test_bm25_ranks_rare_term_overlap_first(spark):
     # scores are non-increasing in rank
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_media_features_feed_ann_operators(spark):
+    """embed_media's output schema slots into the similarity stack: its
+    (vec_id, embedding) shape runs through brute-force cosine_topk."""
+    from key_resource_table_extractor_spark.operators.multimodal import (
+        embed_media,
+    )
+    from key_resource_table_extractor_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (5 + i)) for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    feats = embed_media(docs).selectExpr(
+        "doc_id AS vec_id", "feature AS embedding"
+    )
+    rows = cosine_topk(feats, n_queries=2, k=3).collect()
+    assert len(rows) == 6
+    assert all(r["cos"] is not None for r in rows)
+
+
+def test_media_resize_deterministic_and_bounded(spark):
+    from key_resource_table_extractor_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma " * 30), (2, "x")],
+        "doc_id bigint, text string",
+    )
+    a = {r["doc_id"]: bytes(r["payload"]) for r in resize_media(docs).collect()}
+    b = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in resize_media(docs.repartition(3)).collect()
+    }
+    assert a == b  # partitioning-independent
+    assert all(len(p) >= 1 for p in a.values())  # min 1 byte, never empty
+    # the reduced payload is a strict prefix of the original
+    assert a[1] == ("alpha beta gamma " * 30).encode()[: len(a[1])]
