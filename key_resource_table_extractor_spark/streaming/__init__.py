@@ -8,3 +8,4 @@ from .session_windows import (  # noqa: F401
     run_session_window_stats,
     session_window_stats,
 )
+from .stream_enrich import enrich_events, run_stream_enrich  # noqa: F401
