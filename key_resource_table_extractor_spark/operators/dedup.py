@@ -361,13 +361,16 @@ def dedup_clusters(
 
     Labels iterate min-label propagation restricted to docs incident to at
     least one edge (singletons never change and are not reported). Each
-    round persists the new label table and releases the previous one, so
-    storage holds exactly one generation; the convergence probe (the
-    strictly-decreasing label sum — one scalar per round to the driver,
-    no data) doubles as the action that populates the cache, ONE Spark job
-    per round. Star-edge graphs converge in O(chain length across keys)
-    rounds; ``max_iters`` bounds pathological inputs (plan depth grows a
-    few nodes per round — irrelevant at that bound).
+    round MUST truncate lineage (eager ``localCheckpoint`` → leaf plan):
+    labels_{i+1} references labels_i twice (the self value and the
+    propagated min), so without truncation the logical plan DOUBLES per
+    round — 2^iters nodes, found the hard way as a driver OOM on a
+    deep-chain fuzz graph. The previous generation's checkpoint blocks
+    are released explicitly each round (``rdd.unpersist``), so storage
+    holds one generation. Convergence is the strictly-decreasing label
+    sum — one scalar per round to the driver, no data. Star-edge graphs
+    converge in O(chain length across keys) rounds; ``max_iters`` bounds
+    pathological inputs.
 
     Returns (doc_id, cluster_id, cluster_size) for docs in clusters of
     size > 1 — matched exactly by a recursive-CTE DuckDB oracle.
@@ -390,13 +393,17 @@ def dedup_clusters(
             star.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ),
     )
-    from pyspark import StorageLevel
+    def _release(df):
+        try:
+            df.rdd.unpersist(False)
+        except Exception:
+            pass
 
     labels = (
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("doc_id"), F.col("src").alias("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     if prev_sum is None:
@@ -422,19 +429,20 @@ def dedup_clusters(
                     F.col("label"), F.coalesce("nl", F.col("label"))
                 ).alias("label"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
-        # the probe action populates the new cache; only then release the
-        # previous generation (it fed the computation just performed)
+        # new generation is materialized; release the previous one's blocks
+        _release(prev)
         cur = labels.agg(F.sum("label")).first()[0]
-        prev.unpersist()
         if cur == prev_sum:
             break
         prev_sum = cur
-    # the final generation feeds the returned plan: hand it to the bounded
-    # slot so the NEXT invocation (bench best-of-N, the query gate)
-    # releases it instead of leaking one generation per call
-    labels = _persist_bounded("cc_labels", labels)
+    # release the final generation on the NEXT invocation (bench best-of-N,
+    # the query gate) instead of leaking one label table per call
+    prev_final = _live_cache.pop("cc_labels_ckpt", None)
+    if prev_final is not None:
+        _release(prev_final)
+    _live_cache["cc_labels_ckpt"] = labels
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

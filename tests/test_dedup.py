@@ -289,3 +289,60 @@ def test_dedup_clusters_no_edges_is_empty(spark):
     assert [f.name for f in out.schema.fields] == [
         "doc_id", "cluster_id", "cluster_size",
     ]
+
+
+def test_dedup_clusters_fuzz_matches_union_find(spark):
+    # seeded fuzz: random head-group / tail-group assignments induce a
+    # random bipartite collision graph; the operator must reproduce the
+    # exact components of a pure-Python union-find ground truth.
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n = 120
+    heads = rng.randint(0, 25, n)   # ~5 docs share each head fingerprint
+    tails = rng.randint(0, 30, n)
+    rows = []
+    for i in range(n):
+        # 40-char-stable head and tail regions, unique middle
+        head = f"headgroup-{heads[i]:03d} " * 4
+        tail = f"tailgroup-{tails[i]:03d} " * 4
+        rows.append((i, f"{head} middle-{i} {tail}"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # ground truth: union-find over shared head or tail groups
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for key in (heads, tails):
+        first = {}
+        for i in range(n):
+            k = key[i]
+            if k in first:
+                union(first[k], i)
+            else:
+                first[k] = i
+    want = {}
+    for i in range(n):
+        want.setdefault(find(i), []).append(i)
+    want_rows = {
+        i: (min(members), len(members))
+        for members in want.values()
+        if len(members) > 1
+        for i in members
+    }
+
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup.dedup_clusters(docs).collect()
+    }
+    assert got == want_rows
