@@ -373,7 +373,10 @@ def dedup_clusters(
     pathological inputs.
 
     Returns (doc_id, cluster_id, cluster_size) for docs in clusters of
-    size > 1 — matched exactly by a recursive-CTE DuckDB oracle.
+    size > 1 — matched exactly by a recursive-CTE DuckDB oracle. The
+    returned DataFrame is backed by the final generation's checkpoint
+    blocks and is valid until the NEXT ``dedup_clusters`` invocation
+    (which releases them) — consume it before calling again.
     """
     head = F.md5(F.lower(F.substring("text", 1, fp_len)))
     tail = F.md5(F.lower(F.expr(f"right(text, {fp_len})")))
@@ -393,17 +396,43 @@ def dedup_clusters(
             star.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ),
     )
-    def _release(df):
-        try:
-            df.rdd.unpersist(False)
-        except Exception:
-            pass
+    # localCheckpoint's persisted blocks belong to an INTERNAL RDD —
+    # ``df.rdd.unpersist()`` frees only a derived Python-conversion RDD
+    # (verified empirically: blocks survive). Track the real ids by
+    # diffing the context's persistent-RDD registry around each
+    # checkpoint and unpersist by id. Single-driver operation; the diff
+    # window contains only this op's checkpoint.
+    sc = docs.sparkSession.sparkContext
 
-    labels = (
+    def _persisted_ids() -> set:
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next()._1())
+        return ids
+
+    def _checkpoint_tracked(df):
+        before = _persisted_ids()
+        out = df.localCheckpoint(eager=True)
+        return out, _persisted_ids() - before
+
+    def _release_ids(ids) -> None:
+        jmap = sc._jsc.sc().getPersistentRDDs()
+        for rid in ids:
+            try:
+                if jmap.contains(rid):
+                    jmap.apply(rid).unpersist(False)
+            except Exception:
+                pass
+
+    # free the FINAL generation of the previous invocation (its returned
+    # DataFrame is documented valid only until the next call)
+    _release_ids(_live_cache.pop("cc_labels_ckpt_ids", set()))
+
+    labels, live_ids = _checkpoint_tracked(
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("doc_id"), F.col("src").alias("label"))
-        .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     if prev_sum is None:
@@ -420,29 +449,25 @@ def dedup_clusters(
             .agg(F.min("label").alias("nl"))
             .withColumnRenamed("dst", "doc_id")
         )
-        prev = labels
-        labels = (
-            labels.join(cand, "doc_id", "left")
-            .select(
+        prev_ids = live_ids
+        labels, live_ids = _checkpoint_tracked(
+            labels.join(cand, "doc_id", "left").select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce("nl", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         # new generation is materialized; release the previous one's blocks
-        _release(prev)
+        _release_ids(prev_ids)
         cur = labels.agg(F.sum("label")).first()[0]
         if cur == prev_sum:
             break
         prev_sum = cur
-    # release the final generation on the NEXT invocation (bench best-of-N,
-    # the query gate) instead of leaking one label table per call
-    prev_final = _live_cache.pop("cc_labels_ckpt", None)
-    if prev_final is not None:
-        _release(prev_final)
-    _live_cache["cc_labels_ckpt"] = labels
+    # the final generation backs the returned DataFrame; it is released at
+    # the START of the next invocation (bench best-of-N, the query gate)
+    # instead of leaking one label table per call
+    _live_cache["cc_labels_ckpt_ids"] = live_ids
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

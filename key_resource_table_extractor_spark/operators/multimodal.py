@@ -181,10 +181,18 @@ def resize_media(docs: DataFrame) -> DataFrame:
 
         for pdf in batches:
             meta = fake_decode_meta(pdf)
-            src_area = (meta["width"] * meta["height"]).to_numpy()
-            nb = meta["n_bytes"].to_numpy()
-            out_n = np.maximum(
-                (nb * RESIZE_TARGET_W * RESIZE_TARGET_H) // src_area, 1
+            # int64: n_bytes is int32 and nb*1024 would wrap negative for
+            # payloads over ~2 MiB (routine for media), silently emitting
+            # a 1-byte output while the BIGINT oracle computes correctly
+            src_area = (meta["width"] * meta["height"]).to_numpy(np.int64)
+            nb = meta["n_bytes"].to_numpy(np.int64)
+            # min 1 byte — except an EMPTY payload stays empty (the
+            # oracle mirrors via least(out_n, nb))
+            out_n = np.minimum(
+                np.maximum(
+                    (nb * RESIZE_TARGET_W * RESIZE_TARGET_H) // src_area, 1
+                ),
+                nb,
             )
             yield pd.DataFrame(
                 {
@@ -223,8 +231,8 @@ WITH meta AS (
   FROM documents
 ), sized AS (
   SELECT doc_id, text,
-         greatest((nb * {RESIZE_TARGET_W} * {RESIZE_TARGET_H})
-                  // (w * h), 1) AS out_n
+         least(greatest((nb * {RESIZE_TARGET_W} * {RESIZE_TARGET_H})
+                        // (w * h), 1), nb) AS out_n
   FROM meta
 )
 SELECT doc_id,

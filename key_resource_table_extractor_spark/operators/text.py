@@ -458,12 +458,15 @@ FROM pack GROUP BY shard ORDER BY shard
 
 BM25_K1 = 1.2
 BM25_B = 0.75
+BM25_N_QUERIES = 5  # q_bm25_topk defaults; the SQL oracle derives from
+BM25_K = 5          # these so the two cannot silently desynchronize
 
 
-def bm25_topk(docs, n_queries: int = 5, k: int = 5):
-    """Top-``k`` BM25-scored candidates per query document (queries = the
-    ``n_queries`` smallest doc_ids; swap the predicate for a join against a
-    real probe table).
+def bm25_topk(docs, n_queries: int = BM25_N_QUERIES, k: int = BM25_K):
+    """Top-``k`` BM25-scored candidates per query document (queries = docs
+    whose ``doc_id`` is BELOW ``n_queries`` — the driver tables' ids start
+    at 0, so that is the first ``n_queries`` docs there; for a corpus with
+    arbitrary ids, swap the predicate for a join against a probe table).
 
     Scale shape: classic inverted-index retrieval — term frequencies are
     one groupBy on (doc_id, hashed term); document frequency is a
@@ -555,7 +558,7 @@ WITH words AS (
   JOIN df ON df.wd = q.wd
   JOIN dl ON dl.doc_id = c.doc_id
   CROSS JOIN stats s
-  WHERE q.doc_id < 5
+  WHERE q.doc_id < {BM25_N_QUERIES}
   GROUP BY q.doc_id, c.doc_id
 )
 SELECT query_id, cand_id, rk, round(score, 4) AS score
@@ -564,7 +567,7 @@ FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(score, 6) DESC, cand_id) AS rk
   FROM scored
-) WHERE rk <= 5 ORDER BY query_id, rk
+) WHERE rk <= {BM25_K} ORDER BY query_id, rk
 """
 
 
@@ -602,10 +605,14 @@ def chunk_documents(
         "doc_id",
         "wl",
         "dl",
+        # starts bound at dl - overlap (not dl): a start past that point
+        # yields a window fully contained in the previous one — a
+        # redundant duplicate chunk/embedding; coverage of the final
+        # token is still guaranteed (s_max >= dl - chunk)
         F.posexplode(
             F.sequence(
                 F.lit(0),
-                F.greatest(F.col("dl") - 1, F.lit(0)),
+                F.greatest(F.col("dl") - overlap - 1, F.lit(0)),
                 F.lit(step),
             )
         ).alias("chunk_idx", "start_tok"),
@@ -638,7 +645,7 @@ WITH base AS (
          CAST(t.i / {CHUNK_TOKENS - CHUNK_OVERLAP} AS BIGINT) AS chunk_idx,
          t.i AS start_tok
   FROM base,
-       UNNEST(range(0, greatest(dl, 1),
+       UNNEST(range(0, greatest(dl - {CHUNK_OVERLAP}, 1),
                     {CHUNK_TOKENS - CHUNK_OVERLAP})) AS t(i)
 )
 SELECT doc_id, chunk_idx, CAST(start_tok AS INT) AS start_tok,

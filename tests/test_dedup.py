@@ -346,3 +346,39 @@ def test_dedup_clusters_fuzz_matches_union_find(spark):
         for r in dedup.dedup_clusters(docs).collect()
     }
     assert got == want_rows
+
+
+def test_dedup_clusters_storage_bounded_across_invocations(spark):
+    """Label-generation checkpoint blocks must not accumulate: after two
+    full invocations, at most ONE final label generation (plus the edges
+    cache slot) remains persisted beyond the baseline."""
+    sc = spark.sparkContext
+
+    def persisted_count():
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        n = 0
+        while it.hasNext():
+            it.next()
+            n += 1
+        return n
+
+    head = "identical forty character opening text segment right here"
+    tail = "matching forty character closing text segment right here"
+    docs = spark.createDataFrame(
+        [
+            (10, head + " middle one " + "x" * 60 + " ending alpha alpha"),
+            (20, head + " middle two " + "y" * 60 + " " + tail),
+            (30, "different opening z " + "z" * 60 + " " + tail),
+        ],
+        "doc_id bigint, text string",
+    )
+    base = persisted_count()
+    dedup.dedup_clusters(docs).collect()
+    after_one = persisted_count()
+    dedup.dedup_clusters(docs).collect()
+    after_two = persisted_count()
+    # invocations converge in >1 round; without per-round release the
+    # count would grow by rounds+1 per call, and without the slot release
+    # it would grow by 1 per call
+    assert after_two <= after_one, (base, after_one, after_two)
+    assert after_one - base <= 2, (base, after_one)

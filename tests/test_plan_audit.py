@@ -120,15 +120,29 @@ def test_asof_join_is_one_window_pass_no_join(spark):
 def test_bm25_broadcasts_query_side(spark):
     """BM25's scoring join must broadcast the (tiny) query/probe term set
     onto the corpus posting lists — the corpus tf table must not shuffle
-    for that join."""
+    for that join. Auto-broadcast is disabled so the ONLY possible
+    BroadcastHashJoin is the explicit hint on the query side (at the tiny
+    test SF the planner would otherwise broadcast everything and the test
+    could never fail)."""
     from key_resource_table_extractor_spark.operators.text import bm25_topk
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    assert has_broadcast_join(bm25_topk(docs))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert has_broadcast_join(bm25_topk(docs))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_domain_mixture_broadcasts_quotas(spark):
     """The quota side of the mixture join is a per-source aggregate and
-    must stay broadcast regardless of corpus size."""
-    df = relational.q_domain_mixture_sample(spark, SF_DIR)
-    assert has_broadcast_join(df)
+    must stay broadcast regardless of corpus size (auto-broadcast off so
+    only the explicit hints can satisfy the check)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = relational.q_domain_mixture_sample(spark, SF_DIR)
+        assert has_broadcast_join(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

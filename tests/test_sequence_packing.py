@@ -75,8 +75,10 @@ def test_chunk_documents_windows_and_tail(spark):
         chunk_documents(docs, chunk=4, overlap=1).collect(),
         key=lambda r: r["chunk_idx"],
     )
+    # starts stop at dl - overlap: the would-be window at 9 is fully
+    # contained in the window at 6 and must NOT be emitted
     assert [(r["start_tok"], r["n_tok"]) for r in rows] == [
-        (0, 4), (3, 4), (6, 4), (9, 1),
+        (0, 4), (3, 4), (6, 4),
     ]
     # short doc -> exactly one full-doc chunk
     short = spark.createDataFrame(

@@ -227,6 +227,39 @@ def test_media_resize_deterministic_and_bounded(spark):
         for r in resize_media(docs.repartition(3)).collect()
     }
     assert a == b  # partitioning-independent
-    assert all(len(p) >= 1 for p in a.values())  # min 1 byte, never empty
+    # min 1 byte for any non-empty source payload
+    assert all(len(p) >= 1 for p in a.values())
     # the reduced payload is a strict prefix of the original
     assert a[1] == ("alpha beta gamma " * 30).encode()[: len(a[1])]
+
+
+def test_media_resize_large_payload_no_int32_overflow(spark):
+    # a >2 MiB payload: nb * 1024 wraps negative in int32 — must compute
+    # in int64 and produce the area-proportional slice, not 1 byte
+    from key_resource_table_extractor_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    big = "word " * 600_000  # ~3 MB
+    docs = spark.createDataFrame(
+        [(1, big)], "doc_id bigint, text string"
+    )
+    row = resize_media(docs).collect()[0]
+    nb = len(big.encode())
+    w = 64 + nb % 512
+    h = 64 + (nb * 7) % 512
+    want = max((nb * 32 * 32) // (w * h), 1)
+    assert len(bytes(row["payload"])) == want
+    assert want > 1_000  # the int32-wrap symptom was a 1-byte payload
+
+
+def test_media_resize_empty_payload_stays_empty(spark):
+    from key_resource_table_extractor_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "")], "doc_id bigint, text string"
+    )
+    row = resize_media(docs).collect()[0]
+    assert bytes(row["payload"]) == b""
