@@ -97,3 +97,55 @@ def test_sliced_list_array_in_arrow_path():
     ]
     assert got == exp and got, (got, exp)
     assert not any("decoy" in t for t in rows["text"])
+
+
+def test_round3_operators_tolerate_empty_input(spark):
+    """Every round-3 operator must return an EMPTY, correctly-typed result
+    on an empty corpus — not raise on null aggregates (avgdl, n_units,
+    label sums) or empty groupings."""
+    from key_resource_table_extractor_spark.operators.dedup import (
+        dedup_clusters,
+        dup_passage_stats,
+    )
+    from key_resource_table_extractor_spark.operators.multimodal import (
+        embed_media,
+        resize_media,
+    )
+    from key_resource_table_extractor_spark.operators.relational import (
+        asof_join,
+        domain_mixture_sample,
+    )
+    from key_resource_table_extractor_spark.operators.text import (
+        bm25_topk,
+        chunk_documents,
+        sequence_packing,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    for fn in (
+        dup_passage_stats,
+        dedup_clusters,
+        bm25_topk,
+        chunk_documents,
+        sequence_packing,
+        resize_media,
+        embed_media,
+    ):
+        out = fn(empty)
+        assert out.collect() == [], fn
+        assert len(out.schema.fields) >= 2, fn
+
+    empty_src = spark.createDataFrame(
+        [], "doc_id bigint, source string"
+    )
+    out = domain_mixture_sample(empty_src, {"a": 1.0})
+    assert out.collect() == []
+
+    empty_l = spark.createDataFrame([], "k bigint, ts timestamp, lv double")
+    empty_r = spark.createDataFrame([], "k bigint, ts timestamp, rv double")
+    assert (
+        asof_join(
+            empty_l, empty_r, key="k", ts="ts", right_cols=["rv"]
+        ).collect()
+        == []
+    )
