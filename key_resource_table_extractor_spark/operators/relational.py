@@ -1121,22 +1121,26 @@ def asof_join(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # forward-fill ONE struct per right row, not each payload column
+    # independently: per-column last(ignorenulls) would skip a genuinely
+    # NULL field of the matched right row and fill it from an OLDER row,
+    # mixing fields across right rows (diverges from ANSI/DuckDB ASOF,
+    # which returns the matched row intact, nulls included)
+    matched = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col("__ts").alias("__rts"),
+            *[F.col(c) for c in r_payload],
+        ),
+    )
     filled = lhs.unionByName(rhs).select(
         "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in r_payload
-        ],
-        F.last(
-            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
-        )
-        .over(w)
-        .alias("__f_ts"),
+        F.last(matched, ignorenulls=True).over(w).alias("__f"),
     )
     return filled.where(F.col("__side") == 1).select(
         *[F.col(c) for c in l_cols],
-        F.col("__f_ts").alias(f"{ts}_right"),
-        *[F.col(f"__f_{c}").alias(c) for c in r_payload],
+        F.col("__f.__rts").alias(f"{ts}_right"),
+        *[F.col(f"__f.{c}").alias(c) for c in r_payload],
     )
 
 

@@ -306,7 +306,17 @@ def q_repetition_stats(spark, sf_dir):
     fraction (1 - distinct/total bigrams), aggregated per source. The
     fraction is a pure MAP-SIDE array expression (no explode, no shuffle
     beyond the final short-key agg) — the cheapest of the Gopher repetition
-    rules, and the shape all of them share at 100 TB."""
+    rules, and the shape all of them share at 100 TB.
+
+    Hash stability: ``avg`` over raw doubles sums in engine- and
+    partition-dependent order, and ``round(·, 4)`` can flip at a half-ulp
+    boundary between Spark and DuckDB (the repo's one red CORRECTNESS row
+    in round 3). The per-doc fraction is therefore quantized to an exact
+    scaled integer (×1e6, rounded) before aggregation — summing longs is
+    order-independent — and both engines then perform the IDENTICAL
+    double division and final round on the same exact sum. The
+    "repetitive" threshold uses the same quantized value (> 100000 ⇔
+    rep > 0.1 at 6-decimal granularity) so both engines share one rule."""
     docs = load(spark, sf_dir, "documents")
     w = F.split(F.trim(F.col("text")), r"\s+")
     bigrams = F.transform(
@@ -314,15 +324,21 @@ def q_repetition_stats(spark, sf_dir):
         lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
     )
     rep = 1 - F.size(F.array_distinct(bigrams)) / F.size(bigrams)
+    rep6 = F.round(rep * F.lit(1000000.0)).cast("long")
     return (
         docs.where(F.size(w) >= 2)
-        .select("source", rep.alias("rep"))
+        .select("source", rep6.alias("rep6"))
         .groupBy("source")
         .agg(
-            F.round(F.avg("rep"), 4).alias("avg_rep"),
-            F.sum(F.when(F.col("rep") > 0.1, 1).otherwise(0)).alias(
-                "n_repetitive"
-            ),
+            F.round(
+                F.sum("rep6").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0),
+                4,
+            ).alias("avg_rep"),
+            F.sum(
+                F.when(F.col("rep6") > 100000, 1).otherwise(0)
+            ).alias("n_repetitive"),
         )
         .orderBy("source")
     )
@@ -331,7 +347,8 @@ def q_repetition_stats(spark, sf_dir):
 SQL_REPETITION_STATS = """
 WITH b AS (
   SELECT source,
-         1 - len(list_distinct(bl)) / CAST(len(bl) AS DOUBLE) AS rep
+         CAST(round((1 - len(list_distinct(bl)) / CAST(len(bl) AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS rep6
   FROM (
     SELECT source,
            [array_to_string(wl[i:i+1], ' ')
@@ -342,8 +359,9 @@ WITH b AS (
     ) WHERE len(wl) >= 2
   )
 )
-SELECT source, round(avg(rep), 4) AS avg_rep,
-       sum(CASE WHEN rep > 0.1 THEN 1 ELSE 0 END) AS n_repetitive
+SELECT source,
+       round(CAST(sum(rep6) AS DOUBLE) / count(*) / 1000000.0, 4) AS avg_rep,
+       sum(CASE WHEN rep6 > 100000 THEN 1 ELSE 0 END) AS n_repetitive
 FROM b GROUP BY source ORDER BY source
 """
 

@@ -125,6 +125,24 @@ def test_asof_null_ts_right_rows_never_match(spark):
     assert out == {"l5": None, "lnull": None}
 
 
+def test_asof_null_payload_travels_with_matched_row(spark):
+    # the matched right row's NULL payload field must come back NULL, not
+    # be filled from an OLDER right row (fields never mix across rows)
+    left = spark.createDataFrame(
+        [(1, _ts(10), "l")], "k bigint, ts timestamp, lbl string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(2), "old-a", "old-b"), (1, _ts(8), None, "new-b")],
+        "k bigint, ts timestamp, a string, b string",
+    )
+    row = asof_join(
+        left, right, key="k", ts="ts", right_cols=["a", "b"]
+    ).collect()[0]
+    assert row["ts_right"] == _ts(8)
+    assert row["a"] is None  # NOT "old-a"
+    assert row["b"] == "new-b"
+
+
 def test_asof_string_tiebreak_keeps_type(spark):
     # a string tiebreak must order as a string (not silently cast to NULL)
     left = spark.createDataFrame(

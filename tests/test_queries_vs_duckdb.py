@@ -89,6 +89,35 @@ def test_query_matches_duckdb(spark, entry_mod, duck, name):
     assert srows == drows
 
 
+def test_repetition_stats_exact_across_partitionings(spark, duck):
+    """The round-3 red row: avg over raw doubles was summation-order
+    unstable. The quantized-integer aggregate must match DuckDB EXACTLY
+    (no rounding slack) at different partition counts."""
+    from key_resource_table_extractor_spark.operators import text
+
+    oracle = duck.execute(text.SQL_REPETITION_STATS).fetchall()
+    assert oracle, "fixture must produce rows"
+    for parts in ("2", "16"):
+        with _shuffle_partitions(spark, parts):
+            got = [
+                tuple(r)
+                for r in text.q_repetition_stats(spark, SF_DIR).collect()
+            ]
+        assert got == [tuple(r) for r in oracle]
+
+
+class _shuffle_partitions:
+    def __init__(self, spark, n):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def test_entry_runs(spark, entry_mod):
     df = entry_mod.entry(spark)
     assert df.count() > 0
