@@ -367,10 +367,15 @@ def dedup_clusters(
     round — 2^iters nodes, found the hard way as a driver OOM on a
     deep-chain fuzz graph. The previous generation's checkpoint blocks
     are released explicitly each round (``rdd.unpersist``), so storage
-    holds one generation. Convergence is the strictly-decreasing label
-    sum — one scalar per round to the driver, no data. Star-edge graphs
-    converge in O(chain length across keys) rounds; ``max_iters`` bounds
-    pathological inputs.
+    holds one generation. Convergence is an exact per-round COUNT of
+    changed labels (``sum(new != old)``, one scalar to the driver, no
+    data) — zero means fixpoint. A label SUM would be cheaper to carry
+    but can overflow int64 on large doc_ids at 10^12 docs, where Spark's
+    non-ANSI sum wraps silently; a count of changes is bounded by the
+    row count and cannot wrap. Star-edge graphs converge in O(chain
+    length across keys) rounds; ``max_iters`` bounds pathological
+    inputs, and exhausting it without reaching the fixpoint RAISES
+    (partial labels are wrong answers, not approximations).
 
     Returns (doc_id, cluster_id, cluster_size) for docs in clusters of
     size > 1 — matched exactly by a recursive-CTE DuckDB oracle. The
@@ -434,14 +439,14 @@ def dedup_clusters(
         .distinct()
         .select(F.col("src").alias("doc_id"), F.col("src").alias("label"))
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    if prev_sum is None:
+    if labels.isEmpty():
         # no duplicate edges at this scale: empty, correctly-typed result
         return labels.select(
             "doc_id",
             F.col("label").alias("cluster_id"),
             F.lit(1).cast("long").alias("cluster_size"),
         )
+    converged = False
     for _ in range(max_iters):
         cand = (
             edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
@@ -450,20 +455,38 @@ def dedup_clusters(
             .withColumnRenamed("dst", "doc_id")
         )
         prev_ids = live_ids
-        labels, live_ids = _checkpoint_tracked(
+        # carry a changed flag through the checkpoint so convergence is an
+        # exact count (overflow-free), then drop it from the working set
+        gen, live_ids = _checkpoint_tracked(
             labels.join(cand, "doc_id", "left").select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce("nl", F.col("label"))
                 ).alias("label"),
+                (
+                    F.least(
+                        F.col("label"), F.coalesce("nl", F.col("label"))
+                    )
+                    != F.col("label")
+                )
+                .cast("long")
+                .alias("__chg"),
             )
         )
+        labels = gen.select("doc_id", "label")
         # new generation is materialized; release the previous one's blocks
         _release_ids(prev_ids)
-        cur = labels.agg(F.sum("label")).first()[0]
-        if cur == prev_sum:
+        if gen.agg(F.sum("__chg")).first()[0] == 0:
+            converged = True
             break
-        prev_sum = cur
+    if not converged:
+        _release_ids(live_ids)
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not converge in "
+            f"max_iters={max_iters} rounds; the partial labels would be "
+            f"wrong cluster assignments. Raise max_iters (a chain of k "
+            f"fingerprint keys needs O(k) rounds)."
+        )
     # the final generation backs the returned DataFrame; it is released at
     # the START of the next invocation (bench best-of-N, the query gate)
     # instead of leaking one label table per call

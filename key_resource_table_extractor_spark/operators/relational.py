@@ -999,11 +999,17 @@ def domain_mixture_sample(
     )
 
 
+# the one shared weight definition for the gate query — the oracle SQL
+# enumerates the SAME literals (VALUES clause) instead of reconstructing
+# weights from sources present in the data, so both engines agree that a
+# weighted-but-absent source makes the mixture infeasible (empty result)
+MIXTURE_WEIGHTS = {f"src{i}": float(i % 4 + 1) for i in range(20)}
+
+
 def q_domain_mixture_sample(spark, sf_dir):
     # target mixture: weight (i % 4) + 1 for srcN — non-uniform on purpose
-    weights = {f"src{i}": float(i % 4 + 1) for i in range(20)}
     picked = domain_mixture_sample(
-        load(spark, sf_dir, "documents"), weights
+        load(spark, sf_dir, "documents"), MIXTURE_WEIGHTS
     )
     return (
         picked.groupBy("source")
@@ -1015,18 +1021,23 @@ def q_domain_mixture_sample(spark, sf_dir):
     )
 
 
-SQL_DOMAIN_MIXTURE_SAMPLE = """
-WITH wts AS (
-  SELECT source, (CAST(substr(source, 4) AS INT) % 4) + 1.0 AS w
-  FROM (SELECT DISTINCT source FROM documents)
-  WHERE CAST(substr(source, 4) AS INT) < 20
+_MIXTURE_VALUES = ", ".join(
+    f"('{s}', {w})" for s, w in MIXTURE_WEIGHTS.items()
+)
+
+SQL_DOMAIN_MIXTURE_SAMPLE = f"""
+WITH wts(source, w) AS (
+  VALUES {_MIXTURE_VALUES}
 ), counts AS (
   SELECT source, count(*) AS cnt FROM documents GROUP BY source
+), per_source AS (
+  SELECT w.source, w.w, coalesce(c.cnt, 0) AS cnt
+  FROM wts w LEFT JOIN counts c USING (source)
 ), n_units AS (
-  SELECT floor(min(cnt / w)) AS n FROM counts JOIN wts USING (source)
+  SELECT floor(min(cnt / w)) AS n FROM per_source
 ), quotas AS (
   SELECT source, floor(w * n) AS quota
-  FROM counts JOIN wts USING (source) CROSS JOIN n_units
+  FROM per_source CROSS JOIN n_units
 ), ranked AS (
   SELECT source, doc_id,
          row_number() OVER (PARTITION BY source

@@ -348,6 +348,29 @@ def test_dedup_clusters_fuzz_matches_union_find(spark):
     assert got == want_rows
 
 
+def test_dedup_clusters_nonconvergence_raises(spark):
+    # a transitive chain needs ~one propagation round per hop; with
+    # max_iters=1 the fixpoint is unreachable and partial labels must NOT
+    # be returned silently
+    import pytest
+
+    head = "identical forty character opening text segment right here"
+    tail = "matching forty character closing text segment right here"
+    docs = spark.createDataFrame(
+        [
+            (10, head + " middle one " + "x" * 60 + " ending alpha alpha"),
+            (20, head + " middle two " + "y" * 60 + " " + tail),
+            (30, "different opening z " + "z" * 60 + " " + tail),
+        ],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(RuntimeError, match="max_iters=1"):
+        dedup.dedup_clusters(docs, max_iters=1)
+    # and a sufficient budget still converges on the same input
+    rows = dedup.dedup_clusters(docs).collect()
+    assert {r["doc_id"] for r in rows} == {10, 20, 30}
+
+
 def test_dedup_clusters_storage_bounded_across_invocations(spark):
     """Label-generation checkpoint blocks must not accumulate: after two
     full invocations, at most ONE final label generation (plus the edges

@@ -233,6 +233,27 @@ def test_media_resize_deterministic_and_bounded(spark):
     assert a[1] == ("alpha beta gamma " * 30).encode()[: len(a[1])]
 
 
+def test_media_resize_oracle_ascii_assumption_holds():
+    # SQL_MEDIA_RESIZE equates DuckDB's CHARACTER-prefix substr/md5(varchar)
+    # with Spark's BYTE-prefix md5(binary) — valid only while every fixture
+    # document is pure ASCII (byte prefix == char prefix). Pin the
+    # assumption at both gate scales so a future non-ASCII fixture fails
+    # HERE with the reason, not in the gate as an opaque hash mismatch.
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01"):
+        n = con.execute(
+            f"SELECT count(*) FROM "
+            f"parquet_scan('/root/testdata/{sf}/documents.parquet') "
+            f"WHERE octet_length(encode(text)) <> length(text)"
+        ).fetchone()[0]
+        assert n == 0, (
+            f"{sf}: {n} non-ASCII documents — SQL_MEDIA_RESIZE's "
+            f"char-prefix oracle no longer matches Spark's byte prefix"
+        )
+
+
 def test_media_resize_large_payload_no_int32_overflow(spark):
     # a >2 MiB payload: nb * 1024 wraps negative in int32 — must compute
     # in int64 and produce the area-proportional slice, not 1 byte
