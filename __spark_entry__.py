@@ -98,13 +98,38 @@ def q_extract_spans_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return job.data_spans(job.extract(spans, row_model="anchor"))
 
 
+# the driver's correctness gate records exactly the FIRST 50 queries()
+# entries (dict order), so ordering is evidence policy: the flagship
+# extraction queries and every DuckDB-oracled query must precede the
+# rows-only ones. One redundant D query is demoted past the window
+# (local gate still value-checks it); tests/test_queries_vs_duckdb.py
+# pins the property so future additions can't silently push a D entry out.
+DRIVER_GATE_WINDOW = 50
+DEMOTED = [
+    # J8 join-agg evidence duplicated by top_revenue_nations and
+    # supplier_balance_by_nation (same tables, same join tree)
+    "revenue_by_region",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    q = dict(operators.all_queries())
-    q["extract_spans"] = q_extract_spans
-    q["extract_nested"] = q_extract_nested
-    q["extract_nested_colspans"] = q_extract_nested_colspans
-    q["extract_spans_anchor"] = q_extract_spans_anchor
-    return q
+    reg = dict(operators.all_queries())
+    oracled = operators.all_oracle_sql()
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "extract_spans": q_extract_spans,
+        "extract_nested": q_extract_nested,
+        "extract_nested_colspans": q_extract_nested_colspans,
+        "extract_spans_anchor": q_extract_spans_anchor,
+    }
+    for name, fn in reg.items():  # D-oracled first…
+        if name in oracled and name not in DEMOTED:
+            out[name] = fn
+    for name, fn in reg.items():  # …then rows-only…
+        if name not in out and name not in DEMOTED:
+            out[name] = fn
+    for name in DEMOTED:  # …then the demoted redundancies
+        out[name] = reg[name]
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

@@ -9,9 +9,16 @@ ops, scalar functions) plus the training-data-pipeline operators
 
 from __future__ import annotations
 
-from . import dedup, multimodal, relational, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    curation,
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
 
-ALL_MODULES = [relational, text, dedup, similarity, multimodal]
+ALL_MODULES = [relational, text, dedup, similarity, multimodal, curation]
 
 
 def all_queries():

@@ -89,6 +89,26 @@ def test_query_matches_duckdb(spark, entry_mod, duck, name):
     assert srows == drows
 
 
+def test_gate_window_covers_flagship_and_all_oracled(entry_mod):
+    """The driver records only the first DRIVER_GATE_WINDOW queries():
+    the 4 flagship extraction queries and EVERY oracle-backed query
+    (minus the explicitly demoted redundancies) must sit inside that
+    window, rows-only entries after it."""
+    names = list(entry_mod.queries())
+    oracled = set(entry_mod.oracle_sql())
+    window = set(names[: entry_mod.DRIVER_GATE_WINDOW])
+    for q in (
+        "extract_spans",
+        "extract_nested",
+        "extract_nested_colspans",
+        "extract_spans_anchor",
+    ):
+        assert q in window, q
+    missing = (oracled - set(entry_mod.DEMOTED)) - window
+    assert not missing, f"D-oracled queries outside the gate: {missing}"
+    assert set(entry_mod.DEMOTED) <= oracled  # demoted ⇒ local gate checks
+
+
 def test_repetition_stats_exact_across_partitionings(spark, duck):
     """The round-3 red row: avg over raw doubles was summation-order
     unstable. The quantized-integer aggregate must match DuckDB EXACTLY
