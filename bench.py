@@ -49,7 +49,18 @@ HEADLINE = [
     "bm25_topk",
     "chunk_documents",
     "media_embed",
+    "curation_pipeline",
 ]
+
+# per-query time = min over N_PASSES CONSECUTIVE executions: the first
+# pass warms the query's own codegen/exchange paths, so a single-pass
+# reading carries +15-30% cold/noise (measured round 3 — a flat-board
+# "regression" that vanished under best-of-3). Passes must run
+# back-to-back per query, not as interleaved full sweeps: with ~30
+# headline queries the generated-class/JIT state is evicted between a
+# query's passes and the second pass re-pays compilation (measured:
+# ngram 7.8s interleaved vs 5.1s consecutive on the same box state).
+N_PASSES = 2
 
 
 def force(df):
@@ -88,12 +99,16 @@ def main():
     n_docs = 0
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        force(df)
-        times[name] = round(time.time() - t0, 3)
+        for _ in range(N_PASSES):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            force(df)
+            dt = round(time.time() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
         if name == "extract_spans":
-            n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+            n_docs = spark.read.parquet(
+                f"{sf_dir}/documents.parquet"
+            ).count()
 
     total = round(sum(times.values()), 3)
     result = {
@@ -103,6 +118,7 @@ def main():
         "queries": times,
         "sf": sf,
         "cpus": cpus,
+        "passes": N_PASSES,
         "extraction_docs": n_docs,
         "extraction_docs_per_sec": (
             round(n_docs / times["extract_spans"], 2)
