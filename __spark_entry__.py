@@ -109,6 +109,12 @@ DEMOTED = [
     # J8 join-agg evidence duplicated by top_revenue_nations and
     # supplier_balance_by_nation (same tables, same join tree)
     "revenue_by_region",
+    # C1 regex-extraction evidence duplicated by json_props_extract;
+    # the time-bucket groupBy shape also appears in event_sessions
+    "monthly_order_trend",
+    # exact-quantile evidence duplicated by median_stats_by_lang
+    # (same percentile machinery over the same events table)
+    "event_value_quantiles",
 ]
 
 

@@ -720,7 +720,25 @@ def extract_nested_batch(
       ``_assign_columns``) absorbs the covered EMPTY neighbor columns into
       one ``colspan = n`` cell. Only physically-evident spans are recovered —
       a spanning cell whose text stays inside one trap range is emitted as
-      colspan 1 (char-space limitation, documented deviation)."""
+      colspan 1 (char-space limitation, documented deviation).
+
+    ROWSPAN (documented deviation): extracted cells always carry an
+    implicit ``rowspan = 1``. The reference predicts ``rowspan > 1`` from
+    DETR spanning-cell BOXES whose y-extent covers several row boxes
+    (table_model.py:239-264) — geometric evidence the span input does not
+    contain. In character space, a cell spanning k logical rows renders as
+    a value on its first line with EMPTY cells on the k-1 lines below,
+    which is byte-identical to a genuinely empty cell; and the row-merge
+    fold cannot help either, because continuation lines collapse INTO
+    their logical row before the grid exists (a fold group IS one row, so
+    ``rowspan = group size`` would mislabel ordinary wrapped rows).
+    Emitting ``rowspan > 1`` on that evidence would assert structure the
+    input cannot attest and be penalized as false topology by GriTS. The
+    scoring side is rowspan-AWARE throughout: gold ingest expands rowspan
+    occupancy (sources/gold_json.py) and the GriTS grids honor it
+    (eval/grits_like.py), so a rowspan-bearing gold table is compared
+    fairly against the flat extraction (see the rowspan cases in
+    tests/test_colspan_rowspan.py)."""
     if len(pdf) == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="string"),
                              "result": pd.Series(dtype="string")})

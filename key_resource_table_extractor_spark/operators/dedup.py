@@ -746,12 +746,120 @@ def q_simhash_near_dups(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# boilerplate removal — drop sentences whose normalized form recurs across
+# more than ``df_cap`` documents (the CCNet/Dolma line-dedup step: nav
+# chrome, cookie banners, licence footers), then reassemble each document
+# from its surviving sentences.
+# --------------------------------------------------------------------------
+
+BOILERPLATE_DF_CAP = 3
+
+
+def remove_boilerplate(docs: DataFrame, df_cap: int = BOILERPLATE_DF_CAP):
+    """(doc_id, pos, sent) of surviving sentences per document.
+
+    Scale shape: sentence split + fingerprint are MAP-SIDE (posexplode is
+    a Generate, no shuffle); the document-frequency aggregate moves only
+    (md5, doc_id) short keys with partial aggregation; the hot set —
+    sentences in more than ``df_cap`` docs — is tiny relative to the
+    corpus (boilerplate is by definition few distinct strings), so the
+    removal join is a BROADCAST anti join: the sentence stream itself
+    never shuffles for it. Reassembly (in the caller) is the one big
+    shuffle, and it carries only surviving sentences.
+    """
+    sents = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"\.\s+")).alias("pos", "sent"),
+    ).withColumn("fp", F.md5(F.lower(F.trim(F.col("sent")))))
+    hot = (
+        sents.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("fp")
+    )
+    return sents.join(F.broadcast(hot), "fp", "left_anti").select(
+        "doc_id", "pos", "sent"
+    )
+
+
+def q_boilerplate_removal(spark, sf_dir):
+    """Per-doc evidence row: surviving-sentence count, removed count, and
+    an md5 checksum of the reassembled text (fixed '. ' separator — the
+    split consumed the original separators, so reassembly is normalized
+    identically in both engines)."""
+    docs = load(spark, sf_dir, "documents")
+    kept = remove_boilerplate(docs)
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                lambda s: s["sent"],
+            ),
+            ". ",
+        ).alias("new_text"),
+    )
+    totals = docs.select(
+        "doc_id",
+        F.size(F.split("text", r"\.\s+")).alias("n_sents"),
+    )
+    return (
+        totals.join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_sents") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.length(F.coalesce("new_text", F.lit("")))
+            .cast("long")
+            .alias("new_len"),
+            F.md5(F.coalesce("new_text", F.lit(""))).alias("new_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_BOILERPLATE_REMOVAL = f"""
+WITH s AS (
+  SELECT doc_id, i - 1 AS pos, sl[i] AS sent,
+         md5(lower(trim(sl[i]))) AS fp
+  FROM (
+    SELECT doc_id, string_split_regex(text, '\\.\\s+') AS sl
+    FROM documents
+  ), UNNEST(range(1, len(sl) + 1)) AS t(i)
+), hot AS (
+  SELECT fp FROM (
+    SELECT fp, count(DISTINCT doc_id) AS df FROM s GROUP BY fp
+  ) WHERE df > {BOILERPLATE_DF_CAP}
+), kept AS (
+  SELECT doc_id, pos, sent FROM s
+  WHERE fp NOT IN (SELECT fp FROM hot)
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         array_to_string(list(sent ORDER BY pos), '. ') AS new_text
+  FROM kept GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents FROM s GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.n_kept, 0) AS n_kept,
+       t.n_sents - coalesce(a.n_kept, 0) AS n_removed,
+       CAST(length(coalesce(a.new_text, '')) AS BIGINT) AS new_len,
+       md5(coalesce(a.new_text, '')) AS new_md5
+FROM tot t LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedupe_prefix_fingerprint": q_dedupe_prefix_fingerprint,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "decontamination_check": q_decontamination_check,
     "dup_passage_stats": q_dup_passage_stats,
     "dedup_clusters": q_dedup_clusters,
+    "boilerplate_removal": q_boilerplate_removal,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_near_dups": q_simhash_near_dups,
 }
@@ -762,6 +870,7 @@ ORACLE = {
     "decontamination_check": SQL_DECONTAMINATION_CHECK,
     "dup_passage_stats": SQL_DUP_PASSAGE_STATS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
     # minhash_lsh_pairs / simhash_near_dups: engine-specific hash functions —
     # rows-only driver check; semantic oracle lives in tests/test_dedup.py
 }

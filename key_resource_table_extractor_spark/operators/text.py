@@ -675,6 +675,119 @@ FROM starts ORDER BY doc_id, chunk_idx
 """
 
 
+# --------------------------------------------------------------------------
+# PII detection / redaction — the safety pass every released training corpus
+# runs: count and mask emails, phone numbers, and IPv4 addresses. Patterns
+# are lookahead-free so the Java (Spark) and RE2 (DuckDB) engines agree;
+# replacement is global in both. The synthetic corpus carries no organic
+# PII, so the gate query deterministically seeds doc_id-derived PII into
+# the text first — the seeding is part of the query and mirrored verbatim
+# in the oracle, giving the operator real work to be checked on.
+# --------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(col):
+    """Masked text: emails → [EMAIL], then phones → [PHONE], then IPv4 →
+    [IP] (fixed order, so engines can't diverge on overlap handling)."""
+    out = F.regexp_replace(col, PII_EMAIL, "[EMAIL]")
+    out = F.regexp_replace(out, PII_PHONE, "[PHONE]")
+    return F.regexp_replace(out, PII_IP, "[IP]")
+
+
+def q_pii_redaction_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" contact user"), did, F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" call 415-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    per_doc = docs.select(
+        "source",
+        F.regexp_count(seeded, F.lit(PII_EMAIL)).alias("e"),
+        F.regexp_count(seeded, F.lit(PII_PHONE)).alias("p"),
+        F.regexp_count(seeded, F.lit(PII_IP)).alias("i"),
+        F.length(redact_pii(seeded)).alias("rlen"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("e").cast("long").alias("n_emails"),
+            F.sum("p").cast("long").alias("n_phones"),
+            F.sum("i").cast("long").alias("n_ips"),
+            F.sum(
+                F.when(F.col("e") + F.col("p") + F.col("i") > 0, 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_docs_with_pii"),
+            F.sum("rlen").cast("long").alias("redacted_len"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_PII_REDACTION_STATS = f"""
+WITH seeded AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || doc_id || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call 415-555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' host 10.' || (doc_id % 256) || '.0.'
+                      || (doc_id % 100)
+                 ELSE '' END AS s
+  FROM documents
+), per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(s, '{PII_EMAIL}')) AS e,
+         len(regexp_extract_all(s, '{PII_PHONE}')) AS p,
+         len(regexp_extract_all(s, '{PII_IP}')) AS i,
+         length(regexp_replace(regexp_replace(regexp_replace(s,
+                 '{PII_EMAIL}', '[EMAIL]', 'g'),
+                 '{PII_PHONE}', '[PHONE]', 'g'),
+                 '{PII_IP}', '[IP]', 'g')) AS rlen
+  FROM seeded
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(e) AS BIGINT) AS n_emails,
+       CAST(sum(p) AS BIGINT) AS n_phones,
+       CAST(sum(i) AS BIGINT) AS n_ips,
+       CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_with_pii,
+       CAST(sum(rlen) AS BIGINT) AS redacted_len
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "token_counts_by_lang": q_token_counts_by_lang,
     "sequence_packing": q_sequence_packing,
@@ -687,6 +800,7 @@ QUERIES = {
     "quality_scores_by_source": q_quality_scores_by_source,
     "lang_guess_confusion": q_lang_guess_confusion,
     "doc_fingerprints": q_doc_fingerprints,
+    "pii_redaction_stats": q_pii_redaction_stats,
 }
 
 ORACLE = {
@@ -701,4 +815,5 @@ ORACLE = {
     "quality_scores_by_source": SQL_QUALITY_SCORES_BY_SOURCE,
     "lang_guess_confusion": SQL_LANG_GUESS_CONFUSION,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+    "pii_redaction_stats": SQL_PII_REDACTION_STATS,
 }

@@ -257,6 +257,34 @@ def _pad(s):
     return s + " filler" * 20
 
 
+def test_boilerplate_removal_drops_recurring_sentences(spark):
+    # a sentence shared by >df_cap docs is boilerplate; unique sentences
+    # survive with their order (and therefore the reassembled text) intact
+    boiler = "All rights reserved"
+    rows = [
+        (i, f"Unique opening {i}. {boiler}. Unique closing {i}")
+        for i in range(5)
+    ] + [(99, "Entirely unique document with no shared sentences")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kept = dedup.remove_boilerplate(docs, df_cap=3).collect()
+    by_doc = {}
+    for r in kept:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["sent"]))
+    for i in range(5):
+        sents = [s for _p, s in sorted(by_doc[i])]
+        assert sents == [f"Unique opening {i}", f"Unique closing {i}"]
+    assert by_doc[99] == [
+        (0, "Entirely unique document with no shared sentences")
+    ]
+    # normalization: case/whitespace variants count as the same sentence
+    docs2 = spark.createDataFrame(
+        [(i, f"Head {i}. all RIGHTS reserved") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    kept2 = dedup.remove_boilerplate(docs2, df_cap=3).collect()
+    assert all("rights" not in r["sent"].lower() for r in kept2)
+
+
 def test_dedup_clusters_transitive_chain(spark):
     # A~B share a head fingerprint, B~C share a tail fingerprint: only the
     # transitive closure puts all three in ONE cluster keyed by min doc_id.

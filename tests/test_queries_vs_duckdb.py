@@ -34,6 +34,9 @@ FAST_SUBSET = [
     "ngram_jaccard_pairs",
     "cosine_topk",
     "media_metadata",
+    "boilerplate_removal",
+    "pii_redaction_stats",
+    "curation_pipeline",
 ]
 
 

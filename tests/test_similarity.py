@@ -47,6 +47,59 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.6, recalls
 
 
+def test_pq_recall_vs_bruteforce(spark, emb):
+    # ADC shortlist + exact re-rank: with a generous shortlist the exact
+    # re-rank recovers the true top-k even under coarse quantization
+    k = 5
+    brute = similarity.cosine_topk(emb, n_queries=10, k=k).collect()
+    pq = similarity.ann_pq_topk(emb, n_queries=10, k=k).collect()
+    gold, got = {}, {}
+    for r in brute:
+        gold.setdefault(r["query_id"], set()).add(r["cand_id"])
+    for r in pq:
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+    recalls = [
+        len(gold[q] & got.get(q, set())) / len(gold[q]) for q in gold
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+    # re-ranked cos values are EXACT for the hits: they must equal the
+    # brute-force values on the intersection
+    bcos = {(r["query_id"], r["cand_id"]): r["cos"] for r in brute}
+    for r in pq:
+        key = (r["query_id"], r["cand_id"])
+        if key in bcos:
+            assert abs(r["cos"] - bcos[key]) < 1e-9, key
+
+
+def test_pq_codes_deterministic(spark, emb):
+    cbs1 = similarity.pq_codebooks(emb, dim=64)
+    cbs2 = similarity.pq_codebooks(emb.repartition(5), dim=64)
+    assert cbs1 == cbs2
+    c1 = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in emb.select(
+            "vec_id",
+            similarity.pq_encode_expr(
+                similarity.F.col("embedding"), cbs1
+            ).alias("codes"),
+        ).collect()
+    )
+    c2 = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in emb.repartition(3).select(
+            "vec_id",
+            similarity.pq_encode_expr(
+                similarity.F.col("embedding"), cbs1
+            ).alias("codes"),
+        ).collect()
+    )
+    assert c1 == c2
+    # every vector carries exactly M codes in [0, KSUB)
+    for _vid, codes in c1:
+        assert len(codes) == similarity.PQ_M
+        assert all(0 <= c < similarity.PQ_KSUB for c in codes)
+
+
 def test_ivf_kmeans_refinement(spark, emb):
     """One distributed Lloyd pass keeps recall and stays deterministic:
     refined centroids differ from the seeds (means moved) but are stable
