@@ -552,6 +552,33 @@ def pq_encode_expr(vec_col, cbs: list):
     return F.array(*codes)
 
 
+def _local_topk_prune(scored: DataFrame, key: str, sort_cols: list,
+                      ascending: list, n: int) -> DataFrame:
+    """MAP-SIDE pre-top-n per (Arrow batch × key) under the same total
+    order the downstream ranking window uses. Any row in the global top-n
+    is necessarily in its own batch's top-n, so pruning keeps a superset
+    of the final answer while the ranking shuffle afterwards carries at
+    most n·batches rows per key instead of every candidate — the
+    two-stage top-k that makes a 10^12-candidate ranking feasible.
+
+    A window over ``spark_partition_id()`` would NOT do this: a window
+    always exchanges on its partition keys, shuffling the full stream
+    anyway. This stage stays in the mapper (mapInPandas, schema
+    unchanged)."""
+    schema = scored.schema
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(sort_cols, ascending=ascending)
+                    .groupby(key, sort=False)
+                    .head(n)
+                )
+
+    return scored.mapInPandas(prune, schema)
+
+
 def ann_pq_topk(
     emb: DataFrame,
     n_queries: int = 10,
@@ -570,13 +597,12 @@ def ann_pq_topk(
 
     Scale shape: the corpus is reduced to (vec_id, m codes) — 8 code
     bytes for a 64-dim float32 vector, a 32× compression, the reason PQ
-    is the standard billion-vector path. The one shuffle is the per-query top-shortlist
-    window over (query_id, cand_id, score) short rows; at 10^12
-    candidates, put a per-partition top-``shortlist`` heap (mapPartitions)
-    in front of the window — the window then sees shortlist×partitions
-    rows, not the corpus. Queries are fixture-relative ``vec_id <
-    n_queries`` like the sibling ANN ops (swap for a probe-table join on
-    a real corpus).
+    is the standard billion-vector path. The ranking shuffle is BOUNDED:
+    ``_local_topk_prune`` keeps the per-batch top-``shortlist`` under the
+    same total order map-side, so the per-query ranking window receives
+    at most shortlist×batches short rows instead of the corpus. Queries
+    are fixture-relative ``vec_id < n_queries`` like the sibling ANN ops
+    (swap for a probe-table join on a real corpus).
     """
     from pyspark.sql import Window
 
@@ -635,11 +661,14 @@ def ann_pq_topk(
         "cand_id",
         F.col("qs.adc").alias("adc"),
     ).where(F.col("query_id") != F.col("cand_id"))
+    pruned = _local_topk_prune(
+        scored, "query_id", ["adc", "cand_id"], [False, True], shortlist
+    )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("cand_id")
     )
     short = (
-        scored.withColumn("srk", F.row_number().over(w_adc))
+        pruned.withColumn("srk", F.row_number().over(w_adc))
         .where(F.col("srk") <= shortlist)
         .select("query_id", "cand_id")
     )

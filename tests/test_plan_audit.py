@@ -135,6 +135,57 @@ def test_bm25_broadcasts_query_side(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_boilerplate_hot_set_is_broadcast_anti_join(spark):
+    """Boilerplate removal must apply the hot-sentence set as a BROADCAST
+    anti join — the exploded sentence stream must not shuffle for the
+    removal (auto-broadcast off so only the explicit hint can pass)."""
+    from key_resource_table_extractor_spark.operators.dedup import (
+        remove_boilerplate,
+    )
+    from key_resource_table_extractor_spark.plans.audit import explain_str
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(remove_boilerplate(docs))
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pii_redaction_is_map_side(spark):
+    """Per-doc PII counting/redaction is a pure map expression: the only
+    exchange in the gate query is the final short-key source aggregate."""
+    from key_resource_table_extractor_spark.operators.text import (
+        q_pii_redaction_stats,
+    )
+    from key_resource_table_extractor_spark.plans.audit import explain_str
+
+    plan = explain_str(q_pii_redaction_stats(spark, SF_DIR))
+    # one hash exchange (the agg); the only other is the final tiny
+    # rangepartitioning for the 20-row ordered output
+    assert plan.count("hashpartitioning") == 1, plan
+    assert plan.count("rangepartitioning") == 1, plan
+
+
+def test_pq_codes_compute_map_side(spark):
+    """PQ encoding is a per-row function of the vector: zero exchanges —
+    the corpus' raw vectors never shuffle to be coded."""
+    from key_resource_table_extractor_spark.operators import similarity
+    from key_resource_table_extractor_spark.plans.audit import explain_str
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cbs = similarity.pq_codebooks(emb, dim=64)
+    codes = emb.select(
+        "vec_id",
+        similarity.pq_encode_expr(
+            similarity.F.col("embedding"), cbs
+        ).alias("codes"),
+    )
+    assert "Exchange" not in explain_str(codes)
+
+
 def test_domain_mixture_broadcasts_quotas(spark):
     """The quota side of the mixture join is a per-source aggregate and
     must stay broadcast regardless of corpus size (auto-broadcast off so

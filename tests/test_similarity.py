@@ -71,6 +71,15 @@ def test_pq_recall_vs_bruteforce(spark, emb):
             assert abs(r["cos"] - bcos[key]) < 1e-9, key
 
 
+def test_pq_result_invariant_to_partitioning(spark, emb):
+    # the map-side per-batch pre-top-k keeps a SUPERSET of the global
+    # shortlist under any batching, so the final top-k is identical
+    # across partitionings
+    a = [tuple(r) for r in similarity.ann_pq_topk(emb).collect()]
+    b = [tuple(r) for r in similarity.ann_pq_topk(emb.repartition(7)).collect()]
+    assert a == b and a
+
+
 def test_pq_codes_deterministic(spark, emb):
     cbs1 = similarity.pq_codebooks(emb, dim=64)
     cbs2 = similarity.pq_codebooks(emb.repartition(5), dim=64)
