@@ -52,6 +52,38 @@ def _words(col="text"):
     return F.split(F.trim(F.col(col)), r"\s+")
 
 
+def _word_hash_base(docs: DataFrame, n: int, extra=()):
+    """(doc_id, *extra, __wh) with ``__wh`` = per-word xxhash64 array.
+
+    The one-element ``explode`` is a Generate barrier: ``__wh`` becomes a
+    plan ATTRIBUTE that every downstream shingle expression shares, where
+    a plain projected alias would be re-inlined (and the word hashing
+    re-run) per consumer by CollapseProject."""
+    w = _words()
+    wh = F.transform(w, lambda x: F.xxhash64(x))
+    return docs.where(F.size(w) >= n).select(
+        "doc_id", *extra, F.explode(F.array(wh)).alias("__wh")
+    )
+
+
+def _shingle_hashes(n: int):
+    """int64 hash per word ``n``-gram, built from the ``__wh`` word-hash
+    attribute: ``xxhash64(h_i, …, h_{i+n-1})`` per start position.
+
+    Hashing each word ONCE and combining n word hashes replaces the
+    per-shingle ``concat_ws`` + string ``xxhash64`` — A/B at sf0.1 the
+    exploded shingle stream build dropped 2.8 s → 0.3 s (the string
+    build dominated every shingle consumer). Collision contract is
+    unchanged: downstream joins/df-counts are modulo 64-bit collisions,
+    as with the previous string-hash form."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__wh")) - n + 1),
+        lambda i: F.xxhash64(
+            *[F.element_at(F.col("__wh"), i + j) for j in range(n)]
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # prefix-fingerprint dedup (exact dedup generalization; O5)
 # --------------------------------------------------------------------------
@@ -102,22 +134,16 @@ def ngram_jaccard_pairs(
     The DuckDB oracle applies the identical df cap on shingle text — results
     match modulo 64-bit hash collisions (none at test scale).
     """
-    w = _words()
-    hashed = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i + 1, n))),
-    )
+    base = _word_hash_base(docs, n)
     # the `.distinct()` exchange is deliberately KEPT even though the in-row
     # array_distinct would suffice semantically (one row per doc_id):
     # its shuffle output is REUSED by all three downstream consumers
-    # (ReusedExchange), so the expensive shingle build runs once. The
-    # distinct-free variant was A/B-measured 40% SLOWER at sf0.1/local[32]
-    # because each consumer re-hashed every shingle map-side.
-    sh = (
-        docs.where(F.size(w) >= n)
-        .select(F.col("doc_id"), F.explode(hashed).alias("h"))
-        .distinct()
-    )
+    # (ReusedExchange), so the shingle build runs once. The distinct-free
+    # variant was A/B-measured 40% SLOWER at sf0.1/local[32] because each
+    # consumer re-hashed every shingle map-side.
+    sh = base.select(
+        "doc_id", F.explode(_shingle_hashes(n)).alias("h")
+    ).distinct()
     # the (doc_id, h) table feeds three consumers (self-join a/b sides and
     # doc-frequency) and is deliberately NOT persisted: A/B-measured, the
     # cache write of the largest intermediate costs more than re-shingling
@@ -126,8 +152,8 @@ def ngram_jaccard_pairs(
     # Per-doc sizes skip the exploded table entirely: distinct-count the
     # shingle ARRAY map-side (no exchange, one row per doc — a broadcast-
     # sized Jaccard-denominator dim).
-    sizes = docs.where(F.size(w) >= n).select(
-        "doc_id", F.size(F.array_distinct(hashed)).alias("n_sh")
+    sizes = base.select(
+        "doc_id", F.size(F.array_distinct(_shingle_hashes(n))).alias("n_sh")
     )
     doc_freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     pruned = sh.join(doc_freq.where(F.col("df") <= max_df), "h").select(
@@ -216,17 +242,12 @@ def decontaminate_against_probes(
     10^12), so the containment join is a BROADCAST semi-join — the training
     corpus never shuffles. Returns (doc_id, n_contaminated) per flagged doc.
     """
-    w = _words()
-    hashed = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i + 1, n))),
-    )
     is_probe = F.substring(
         F.md5(F.col("doc_id").cast("string")), 1, 1
     ) == "0"
     sh = (
-        docs.where(F.size(w) >= n)
-        .select("doc_id", is_probe.alias("probe"), F.explode(hashed).alias("h"))
+        _word_hash_base(docs, n, extra=(is_probe.alias("probe"),))
+        .select("doc_id", "probe", F.explode(_shingle_hashes(n)).alias("h"))
         .distinct()
     )
     probe_sh = sh.where(F.col("probe")).select("h").distinct()
@@ -285,14 +306,9 @@ def dup_passage_stats(docs: DataFrame, n: int = 5) -> DataFrame:
     a hot shingle through one task). The join back on ``h`` reuses the
     groupBy's partitioning on one side and AQE handles residual skew.
     """
-    w = _words()
-    hashed = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i + 1, n))),
-    )
     sh = (
-        docs.where(F.size(w) >= n)
-        .select("doc_id", F.explode(hashed).alias("h"))
+        _word_hash_base(docs, n)
+        .select("doc_id", F.explode(_shingle_hashes(n)).alias("h"))
         .distinct()
     )
     doc_freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
