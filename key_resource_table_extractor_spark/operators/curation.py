@@ -22,14 +22,17 @@ counting.
 
 from __future__ import annotations
 
-from pyspark.sql import Window, functions as F
+from pyspark.sql import functions as F
 
 from .common import load
 from .dedup import dedup_clusters
-from .relational import MIXTURE_WEIGHTS, domain_mixture_sample
+from .relational import (
+    _MIXTURE_VALUES,
+    MIXTURE_WEIGHTS,
+    domain_mixture_sample,
+)
 from .text import (
-    _STOPWORDS_PAT,
-    _tokens,
+    curated_corpus,
     MIN_DOC_CHARS,
     MIN_DOC_TOKENS,
     MIN_STOP_RATIO,
@@ -54,24 +57,7 @@ def curation_pipeline(
     ``dedup_clusters``'s contract: consume it before the next
     ``curation_pipeline``/``dedup_clusters`` call on the same session.
     """
-    stop = F.regexp_count(F.lower(F.col("text")), F.lit(_STOPWORDS_PAT))
-    good = docs.where(
-        (_tokens() >= MIN_DOC_TOKENS)
-        & (F.length("text") >= MIN_DOC_CHARS)
-        & ((stop / _tokens()) >= MIN_STOP_RATIO)
-    )
-    w_keep = Window.partitionBy("fp").orderBy("doc_id")
-    exact = (
-        good.select(
-            "doc_id",
-            "source",
-            "text",
-            F.md5(F.lower(F.col("text"))).alias("fp"),
-        )
-        .withColumn("rk", F.row_number().over(w_keep))
-        .where(F.col("rk") == 1)
-        .drop("fp", "rk")
-    )
+    exact = curated_corpus(docs, cols=("doc_id", "source", "text"))
     clusters = dedup_clusters(exact.select("doc_id", "text"), fp_len=fp_len)
     losers = clusters.where(
         F.col("cluster_id") != F.col("doc_id")
@@ -105,10 +91,6 @@ def q_curation_pipeline(spark, sf_dir):
         .orderBy("shard")
     )
 
-
-_MIXTURE_VALUES = ", ".join(
-    f"('{s}', {w})" for s, w in MIXTURE_WEIGHTS.items()
-)
 
 SQL_CURATION_PIPELINE = f"""
 WITH RECURSIVE good AS (

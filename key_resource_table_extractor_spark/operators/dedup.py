@@ -615,7 +615,9 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     def fn(batches):
         for rb in batches:
             tbl = pa.Table.from_batches([rb])
-            did = tbl.column("doc_id").to_numpy()
+            # pass doc_id through as the arrow array it came in as — the
+            # operator must not narrow a string/other id type to bigint
+            did = tbl.column("doc_id").combine_chunks()
             col = tbl.column("wh").combine_chunks()
             vals = col.values.to_numpy(zero_copy_only=False).astype(
                 np.int64
@@ -649,7 +651,8 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
                 {k: arrs[k] for k in names}
             )
 
-    ddl = "doc_id bigint, " + ", ".join(
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    ddl = f"doc_id {id_type}, " + ", ".join(
         f"mh{i} bigint" for i in range(MINHASH_PERMS)
     )
     return base.mapInArrow(fn, ddl)

@@ -617,6 +617,12 @@ def ann_pq_topk(
     for r in qrows:
         v = np.asarray(r["embedding"], dtype=float)
         units[int(r["vec_id"])] = v / (np.linalg.norm(v) or 1.0)
+    if not cbs or not cbs[0] or not units:
+        # empty corpus / no matching queries: empty, correctly-typed
+        # result (the repo's pinned empty-input convention)
+        return emb.sparkSession.createDataFrame(
+            [], "query_id bigint, rk int, cand_id bigint, cos double"
+        )
     # LUT[q][j][c] = <q_sub_j, codeword_{j,c}>; m·ksub floats per query
     per_q = []
     for qid in sorted(units):

@@ -148,8 +148,10 @@ MIN_DOC_CHARS = 30
 MIN_STOP_RATIO = 0.05  # English-ish prose signal; pure keyword-spam drops
 
 
-def curated_corpus(docs):
-    """Kept (doc_id, lang) rows after the quality gate + exact dedup."""
+def curated_corpus(docs, cols=("doc_id", "lang")):
+    """Kept rows (``cols``; must include ``doc_id``, the keeper order)
+    after the quality gate + exact dedup. The ONE implementation of the
+    gate semantics — curation_pipeline reuses it with payload columns."""
     stop = F.regexp_count(F.lower(F.col("text")), F.lit(_STOPWORDS_PAT))
     good = docs.where(
         (_tokens() >= MIN_DOC_TOKENS)
@@ -159,10 +161,10 @@ def curated_corpus(docs):
     fp = F.md5(F.lower(F.col("text")))
     w_keep = Window.partitionBy("fp").orderBy("doc_id")
     return (
-        good.select("doc_id", "lang", fp.alias("fp"))
+        good.select(*cols, fp.alias("fp"))
         .withColumn("rk", F.row_number().over(w_keep))
         .where(F.col("rk") == 1)
-        .select("doc_id", "lang")
+        .select(*cols)
     )
 
 
@@ -724,12 +726,19 @@ def q_pii_redaction_stats(spark, sf_dir):
             ),
         ).otherwise(F.lit("")),
     )
+    # one-element explode barrier: `seeded` rebuilds the full document
+    # string, and CollapseProject would re-inline it into each of the
+    # four consumers below (three regexp counts + the redaction) — as a
+    # Generate output attribute it materializes once per row
+    s = F.col("__s")
     per_doc = docs.select(
+        "source", F.explode(F.array(seeded)).alias("__s")
+    ).select(
         "source",
-        F.regexp_count(seeded, F.lit(PII_EMAIL)).alias("e"),
-        F.regexp_count(seeded, F.lit(PII_PHONE)).alias("p"),
-        F.regexp_count(seeded, F.lit(PII_IP)).alias("i"),
-        F.length(redact_pii(seeded)).alias("rlen"),
+        F.regexp_count(s, F.lit(PII_EMAIL)).alias("e"),
+        F.regexp_count(s, F.lit(PII_PHONE)).alias("p"),
+        F.regexp_count(s, F.lit(PII_IP)).alias("i"),
+        F.length(redact_pii(s)).alias("rlen"),
     )
     return (
         per_doc.groupBy("source")

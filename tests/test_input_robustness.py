@@ -149,3 +149,57 @@ def test_round3_operators_tolerate_empty_input(spark):
         ).collect()
         == []
     )
+
+
+def test_round4_operators_tolerate_empty_and_foreign_inputs(spark):
+    from key_resource_table_extractor_spark.operators.curation import (
+        curation_pipeline,
+    )
+    from key_resource_table_extractor_spark.operators.dedup import (
+        minhash_signatures,
+        remove_boilerplate,
+    )
+    from key_resource_table_extractor_spark.operators.similarity import (
+        ann_pq_topk,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    assert remove_boilerplate(empty_docs).collect() == []
+    assert minhash_signatures(empty_docs).collect() == []
+
+    # PQ: empty corpus AND a corpus with no rows below n_queries both
+    # return an empty, correctly-typed frame (not an analysis crash)
+    empty_emb = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    out = ann_pq_topk(empty_emb)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "rk", "cand_id", "cos",
+    ]
+    high_ids = spark.createDataFrame(
+        [(1000 + i, [float(i), 1.0, 0.5, 2.0] * 16) for i in range(6)],
+        "vec_id bigint, embedding array<double>",
+    )
+    assert ann_pq_topk(high_ids, n_queries=10).collect() == []
+
+    # minhash must preserve a STRING doc_id type (extraction-side ids)
+    sdocs = spark.createDataFrame(
+        [("doc_a", "one two three four five six"),
+         ("doc_b", "one two three four five six")],
+        "doc_id string, text string",
+    )
+    rows = minhash_signatures(sdocs).collect()
+    assert {r["doc_id"] for r in rows} == {"doc_a", "doc_b"}
+    a, b = sorted(rows, key=lambda r: r["doc_id"])
+    assert [a[f"mh{i}"] for i in range(32)] == [
+        b[f"mh{i}"] for i in range(32)
+    ]
+
+    empty_curation = curation_pipeline(
+        spark.createDataFrame(
+            [], "doc_id bigint, source string, text string"
+        ),
+        {"srcA": 1.0},
+    )
+    assert empty_curation.collect() == []
