@@ -678,6 +678,153 @@ FROM starts ORDER BY doc_id, chunk_idx
 
 
 # --------------------------------------------------------------------------
+# BPE tokenizer training — learn merge rules from the corpus, then apply
+# them for subword token counting. The statistic BPE actually trains on is
+# the WORD-FREQUENCY table (vocab-sized), so the 100 TB part — counting
+# words — is one partial-agg short-key shuffle; the merge loop itself runs
+# on the compact statistic (the fastBPE/HF-trainer structure). At web
+# scale, cap the table to the top-V words by frequency (standard practice;
+# the tail contributes negligible pair mass).
+# --------------------------------------------------------------------------
+
+BPE_N_MERGES = 20
+BPE_MAX_WORDS = 10000  # top-V word-frequency cap (deterministic tiebreak)
+BPE_EOW = "</w>"  # end-of-word marker symbol
+
+
+def _bpe_merge_loop(word_freqs: list, n_merges: int) -> list:
+    """Pure-Python greedy BPE on (word, freq) pairs: repeatedly merge the
+    most frequent adjacent symbol pair (ties broken lexicographically so
+    training is fully deterministic). Returns
+    [(rank, left, right, freq)]. Shared by the operator (driver side,
+    compact input) and the pytest oracle."""
+    seqs = [
+        (list(w) + [BPE_EOW], int(f)) for w, f in word_freqs if len(w) > 0
+    ]
+    merges = []
+    for rank in range(n_merges):
+        counts: dict = {}
+        for sym, f in seqs:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        # most frequent pair; ties broken by the lexicographically
+        # smallest pair so training is fully deterministic
+        top_f = max(counts.values())
+        best = min(p for p, f in counts.items() if f == top_f)
+        merges.append((rank, best[0], best[1], counts[best]))
+        merged = best[0] + best[1]
+        new_seqs = []
+        for sym, f in seqs:
+            out = []
+            i = 0
+            while i < len(sym):
+                if (
+                    i + 1 < len(sym)
+                    and sym[i] == best[0]
+                    and sym[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_seqs.append((out, f))
+        seqs = new_seqs
+    return merges
+
+
+def bpe_train(
+    docs,
+    n_merges: int = BPE_N_MERGES,
+    max_words: int = BPE_MAX_WORDS,
+) -> list:
+    """Learn BPE merge rules from the corpus. Distributed part: the word
+    count (map-side partial agg, one short-key shuffle) capped to the
+    ``max_words`` most frequent words (freq desc, word asc — fully
+    deterministic); driver part: the greedy merge loop over that compact
+    table. Returns [(rank, left, right, freq)]."""
+    wf = (
+        docs.select(F.explode(_words_lower()).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.desc("f"), F.asc("w"))
+        .limit(max_words)
+        .collect()
+    )
+    return _bpe_merge_loop([(r["w"], r["f"]) for r in wf], n_merges)
+
+
+def _words_lower():
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+def bpe_apply_counts(docs, merges: list):
+    """Apply trained merges and count subword tokens per doc — MAP-SIDE
+    (mapInPandas; the merge table rides the closure, the corpus never
+    shuffles). Returns (doc_id, n_subwords, n_words)."""
+    import pandas as pd
+
+    ranks = {(m[1], m[2]): m[0] for m in merges}
+
+    def encode_word(w: str) -> int:
+        sym = list(w) + [BPE_EOW]
+        while len(sym) > 1:
+            best, bi = None, -1
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            sym[bi:bi + 2] = [sym[bi] + sym[bi + 1]]
+        return len(sym)
+
+    def fn(batches):
+        for pdf in batches:
+            toks, nw = [], []
+            for t in pdf["text"]:
+                ws = [w for w in str(t).strip().lower().split() if w]
+                nw.append(len(ws))
+                toks.append(sum(encode_word(w) for w in ws))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_subwords": pd.Series(toks, dtype="int64"),
+                    "n_words": pd.Series(nw, dtype="int64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        fn, "doc_id bigint, n_subwords bigint, n_words bigint"
+    )
+
+
+def q_bpe_train_stats(spark, sf_dir):
+    """Rows-only driver query: the learned merge table (rank, left,
+    right, freq) plus corpus-level fertility under the learned merges.
+    No SQL oracle — BPE's greedy loop is not SQL-expressible; the
+    semantic oracle is tests/test_bpe.py (exact merge-sequence equality
+    with an independent pure-Python reference, plus determinism)."""
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(docs)
+    tot = bpe_apply_counts(docs, merges).agg(
+        F.sum("n_subwords").alias("total_subwords"),
+        F.sum("n_words").alias("total_words"),
+    ).first()
+    ts = int(tot["total_subwords"] or 0)
+    tw = int(tot["total_words"] or 0)
+    return spark.createDataFrame(
+        [(r, l, rt, f, ts, tw) for (r, l, rt, f) in merges],
+        "rank int, left string, right string, freq bigint, "
+        "total_subwords bigint, total_words bigint",
+    ).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
 # PII detection / redaction — the safety pass every released training corpus
 # runs: count and mask emails, phone numbers, and IPv4 addresses. Patterns
 # are lookahead-free so the Java (Spark) and RE2 (DuckDB) engines agree;
@@ -810,6 +957,7 @@ QUERIES = {
     "lang_guess_confusion": q_lang_guess_confusion,
     "doc_fingerprints": q_doc_fingerprints,
     "pii_redaction_stats": q_pii_redaction_stats,
+    "bpe_train_stats": q_bpe_train_stats,
 }
 
 ORACLE = {
