@@ -135,15 +135,17 @@ def ngram_jaccard_pairs(
     match modulo 64-bit hash collisions (none at test scale).
     """
     base = _word_hash_base(docs, n)
-    # the `.distinct()` exchange is deliberately KEPT even though the in-row
-    # array_distinct would suffice semantically (one row per doc_id):
-    # its shuffle output is REUSED by all three downstream consumers
-    # (ReusedExchange), so the shingle build runs once. The distinct-free
-    # variant was A/B-measured 40% SLOWER at sf0.1/local[32] because each
-    # consumer re-hashed every shingle map-side.
+    # per-doc uniqueness via IN-ROW array_distinct, not a cluster-wide
+    # .distinct(): the round-2 A/B kept the distinct exchange because its
+    # ReusedExchange amortized the then-expensive per-shingle string
+    # hashing across consumers; with the word-hash shingle build that
+    # rationale inverted (re-shingling is ~0.3 s at sf0.1) and the
+    # distinct-free form re-measured 8% faster locally while removing a
+    # full shuffle of the shingle stream — the better trade at 100 TB.
     sh = base.select(
-        "doc_id", F.explode(_shingle_hashes(n)).alias("h")
-    ).distinct()
+        "doc_id",
+        F.explode(F.array_distinct(_shingle_hashes(n))).alias("h"),
+    )
     # the (doc_id, h) table feeds three consumers (self-join a/b sides and
     # doc-frequency) and is deliberately NOT persisted: A/B-measured, the
     # cache write of the largest intermediate costs more than re-shingling
@@ -245,10 +247,10 @@ def decontaminate_against_probes(
     is_probe = F.substring(
         F.md5(F.col("doc_id").cast("string")), 1, 1
     ) == "0"
-    sh = (
-        _word_hash_base(docs, n, extra=(is_probe.alias("probe"),))
-        .select("doc_id", "probe", F.explode(_shingle_hashes(n)).alias("h"))
-        .distinct()
+    sh = _word_hash_base(docs, n, extra=(is_probe.alias("probe"),)).select(
+        "doc_id",
+        "probe",
+        F.explode(F.array_distinct(_shingle_hashes(n))).alias("h"),
     )
     probe_sh = sh.where(F.col("probe")).select("h").distinct()
     return (
@@ -306,10 +308,9 @@ def dup_passage_stats(docs: DataFrame, n: int = 5) -> DataFrame:
     a hot shingle through one task). The join back on ``h`` reuses the
     groupBy's partitioning on one side and AQE handles residual skew.
     """
-    sh = (
-        _word_hash_base(docs, n)
-        .select("doc_id", F.explode(_shingle_hashes(n)).alias("h"))
-        .distinct()
+    sh = _word_hash_base(docs, n).select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingle_hashes(n))).alias("h"),
     )
     doc_freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     return (
