@@ -57,6 +57,12 @@ def curation_pipeline(
     ``dedup_clusters``'s contract: consume it before the next
     ``curation_pipeline``/``dedup_clusters`` call on the same session.
     """
+    # the gated corpus feeds four consumers (both cluster key builds, the
+    # keeper anti join, the packing text join) and is deliberately NOT
+    # persisted: A/B at sf0.1 the cache write of the wide text-bearing
+    # table made the warm pipeline 30% SLOWER (5.0s → 6.6s) — recomputing
+    # the map-side gate + one fp window per consumer is cheaper than
+    # materializing text, the same trade the n-gram shingle table makes.
     exact = curated_corpus(docs, cols=("doc_id", "source", "text"))
     clusters = dedup_clusters(exact.select("doc_id", "text"), fp_len=fp_len)
     losers = clusters.where(
