@@ -405,10 +405,22 @@ def dedup_clusters(
     keys = docs.select("doc_id", head.alias("k")).unionByName(
         docs.select("doc_id", tail.alias("k"))
     )
-    roots = keys.groupBy("k").agg(F.min("doc_id").alias("root"))
+    # group size rides along so incident docs (cnt >= 2 on some key) and
+    # their min-root INITIAL labels come from the same join — identity
+    # init would spend the whole first propagation round discovering
+    # exactly this value
+    roots = (
+        keys.groupBy("k")
+        .agg(
+            F.min("doc_id").alias("root"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .where(F.col("cnt") >= 2)
+        .select("k", "root")
+    )
+    member = keys.join(roots, "k")
     star = (
-        keys.join(roots, "k")
-        .where(F.col("doc_id") != F.col("root"))
+        member.where(F.col("doc_id") != F.col("root"))
         .select(F.col("root").alias("src"), F.col("doc_id").alias("dst"))
         .distinct()
     )
@@ -452,9 +464,12 @@ def dedup_clusters(
     _release_ids(_live_cache.pop("cc_labels_ckpt_ids", set()))
 
     labels, live_ids = _checkpoint_tracked(
-        edges.select("src")
-        .distinct()
-        .select(F.col("src").alias("doc_id"), F.col("src").alias("label"))
+        member.groupBy("doc_id")
+        .agg(F.min("root").alias("mr"))
+        .select(
+            "doc_id",
+            F.least(F.col("doc_id"), F.col("mr")).alias("label"),
+        )
     )
     if labels.isEmpty():
         # no duplicate edges at this scale: empty, correctly-typed result
