@@ -405,15 +405,18 @@ def dedup_clusters(
     keys = docs.select("doc_id", head.alias("k")).unionByName(
         docs.select("doc_id", tail.alias("k"))
     )
-    # group size rides along so incident docs (cnt >= 2 on some key) and
-    # their min-root INITIAL labels come from the same join — identity
-    # init would spend the whole first propagation round discovering
-    # exactly this value
+    # group size rides along so incident docs (>= 2 DISTINCT docs on some
+    # key) and their min-root INITIAL labels come from the same join —
+    # identity init would spend the whole first propagation round
+    # discovering exactly this value. The count must be over DISTINCT
+    # docs: a unique doc whose head fingerprint equals its tail (any text
+    # <= fp_len chars) contributes TWO rows to one key group and a plain
+    # row count would admit it as a spurious singleton "cluster".
     roots = (
         keys.groupBy("k")
         .agg(
             F.min("doc_id").alias("root"),
-            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("doc_id").alias("cnt"),
         )
         .where(F.col("cnt") >= 2)
         .select("k", "root")
@@ -472,7 +475,11 @@ def dedup_clusters(
         )
     )
     if labels.isEmpty():
-        # no duplicate edges at this scale: empty, correctly-typed result
+        # no duplicate edges at this scale: empty, correctly-typed result.
+        # Still hand the (empty) checkpoint's blocks to the release slot —
+        # dropping live_ids here would leak one persisted RDD registration
+        # per no-edge invocation for the session lifetime.
+        _live_cache["cc_labels_ckpt_ids"] = live_ids
         return labels.select(
             "doc_id",
             F.col("label").alias("cluster_id"),

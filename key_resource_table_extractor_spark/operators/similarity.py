@@ -648,7 +648,11 @@ def ann_pq_topk(
         )
         per_q.append(
             F.named_struct(
-                F.lit("query_id"), F.lit(qid), F.lit("adc"), adc
+                # cast: the ids come from a bigint vec_id, and the
+                # empty-input path declares query_id bigint — both paths
+                # must produce one schema
+                F.lit("query_id"), F.lit(qid).cast("long"),
+                F.lit("adc"), adc,
             )
         )
     # one-element explode barrier (the minhash trick): Generate re-runs

@@ -787,7 +787,14 @@ def bpe_apply_counts(docs, merges: list):
         for pdf in batches:
             toks, nw = [], []
             for t in pdf["text"]:
-                ws = [w for w in str(t).strip().lower().split() if w]
+                # null text tokenizes to zero words (str(None) would count
+                # the literal word "none"), matching the Spark-side
+                # convention where split(null) drops the row
+                ws = (
+                    []
+                    if pd.isna(t)
+                    else [w for w in str(t).strip().lower().split() if w]
+                )
                 nw.append(len(ws))
                 toks.append(sum(encode_word(w) for w in ws))
             yield pd.DataFrame(
@@ -798,8 +805,11 @@ def bpe_apply_counts(docs, merges: list):
                 }
             )
 
+    # doc_id DDL follows the input schema — string extraction-side ids
+    # must pass through un-narrowed (same contract as minhash_signatures)
+    id_type = docs.schema["doc_id"].dataType.simpleString()
     return docs.select("doc_id", "text").mapInPandas(
-        fn, "doc_id bigint, n_subwords bigint, n_words bigint"
+        fn, f"doc_id {id_type}, n_subwords bigint, n_words bigint"
     )
 
 

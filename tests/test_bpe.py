@@ -88,6 +88,18 @@ def test_bpe_apply_counts_contract(spark):
     assert r["n_subwords"] == 2  # "low</w>" merged to a single symbol
 
 
+def test_bpe_apply_string_ids_and_null_text(spark):
+    # string doc_ids pass through un-narrowed; null text counts 0 words
+    docs = spark.createDataFrame(
+        [("doc_a", None), ("doc_b", "hello world")],
+        "doc_id string, text string",
+    )
+    rows = {r["doc_id"]: r for r in T.bpe_apply_counts(docs, []).collect()}
+    assert rows["doc_a"]["n_words"] == 0
+    assert rows["doc_a"]["n_subwords"] == 0
+    assert rows["doc_b"]["n_words"] == 2
+
+
 def test_bpe_empty_and_cap(spark):
     empty = spark.createDataFrame([], "doc_id bigint, text string")
     assert T.bpe_train(empty) == []

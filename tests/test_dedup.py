@@ -304,6 +304,24 @@ def test_dedup_clusters_transitive_chain(spark):
     assert got == {10: (10, 3), 20: (10, 3), 30: (10, 3)}  # 40 = singleton
 
 
+def test_dedup_clusters_short_unique_doc_is_not_a_cluster(spark):
+    # a UNIQUE doc shorter than fp_len has head fingerprint == tail
+    # fingerprint: its key group holds 2 rows but only 1 distinct doc,
+    # which must NOT surface as a spurious singleton "cluster"
+    head = "identical forty character opening text segment right here"
+    docs = spark.createDataFrame(
+        [
+            (1, "short unique doc under forty chars"),
+            (3, head + " middle a " + "x" * 60),
+            (4, head + " middle b " + "y" * 60),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in dedup.dedup_clusters(docs).collect()}
+    assert got == {3: (3, 2), 4: (3, 2)}  # doc 1 absent
+
+
 def test_dedup_clusters_no_edges_is_empty(spark):
     docs = spark.createDataFrame(
         [

@@ -177,6 +177,18 @@ def test_round4_operators_tolerate_empty_and_foreign_inputs(spark):
     assert [f.name for f in out.schema.fields] == [
         "query_id", "rk", "cand_id", "cos",
     ]
+    # both paths (empty guard / live query) must produce ONE schema —
+    # field TYPES included, not just names
+    live = ann_pq_topk(
+        spark.createDataFrame(
+            [(i, [float(i + j) for j in range(64)]) for i in range(4)],
+            "vec_id bigint, embedding array<double>",
+        ),
+        n_queries=2, k=2,
+    )
+    assert [(f.name, f.dataType) for f in live.schema.fields] == [
+        (f.name, f.dataType) for f in out.schema.fields
+    ]
     high_ids = spark.createDataFrame(
         [(1000 + i, [float(i), 1.0, 0.5, 2.0] * 16) for i in range(6)],
         "vec_id bigint, embedding array<double>",
