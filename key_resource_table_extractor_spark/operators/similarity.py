@@ -531,25 +531,69 @@ def pq_codebooks(emb: DataFrame, dim: int, m: int = PQ_M,
     return cbs
 
 
-def pq_encode_expr(vec_col, cbs: list):
-    """array<int> of nearest-codeword ids per subspace — pure built-ins,
-    map-side. On the unit-normalized vector, so ADC dot products rank by
-    cosine."""
-    sd = len(cbs[0][0])
-    nrm = _norm(vec_col)
-    unit = F.transform(vec_col, lambda x: x.cast("double") / nrm)
-    codes = []
-    for j, cb in enumerate(cbs):
-        cb_lit = F.array(*[F.array(*[F.lit(v) for v in cw]) for cw in cb])
-        sub = F.slice(unit, j * sd + 1, sd)
-        scores = F.transform(
-            cb_lit,
-            lambda c, i: F.named_struct(
-                F.lit("d"), _l2sq(sub, c), F.lit("cid"), i
-            ),
-        )
-        codes.append(F.array_min(scores)["cid"])
-    return F.array(*codes)
+def _pq_batch_arrays(rb):
+    """(vec_ids int64, X float64 matrix) from an Arrow batch of
+    (vec_id, embedding)."""
+    import pyarrow as pa
+
+    tbl = pa.Table.from_batches([rb])
+    ids = tbl.column("vec_id").to_numpy()
+    col = tbl.column("embedding").combine_chunks()
+    vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    n = len(ids)
+    dim = (offs[1] - offs[0]) if n else 0
+    return ids, vals.reshape(n, int(dim)) if n else vals.reshape(0, 0)
+
+
+def _pq_encode_np(X: "np.ndarray", cb: "np.ndarray") -> "np.ndarray":
+    """(rows, m) nearest-codeword ids on the unit-normalized rows.
+    ``cb`` is the (m, ksub, sd) codebook tensor."""
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    U = X / norms
+    m, ksub, sd = cb.shape
+    codes = np.empty((len(U), m), dtype=np.int32)
+    for j in range(m):
+        sub = U[:, j * sd:(j + 1) * sd]
+        # argmin ||sub - C||² = argmin (||C||² - 2 sub·Cᵀ) per row
+        d = (cb[j] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ cb[j].T)
+        codes[:, j] = np.argmin(d, axis=1)
+    return codes
+
+
+def pq_codes(emb: DataFrame, cbs: list) -> DataFrame:
+    """(vec_id, codes array<int>) — the compressed index, computed in ONE
+    numpy ``mapInArrow`` stage with the codebook tensor in the closure.
+
+    NOT an expression: the all-literal expression form (ksub·sd literals
+    per subspace, m subspaces, plus min-struct machinery) ballooned the
+    plan to thousands of nodes and Catalyst analysis/codegen dominated —
+    101 s for a 500-row corpus at first measurement. Same lesson as the
+    IVF scorer ("big literal trees cost codegen time"), one order worse.
+    """
+    import pyarrow as pa
+
+    cb = np.asarray(cbs, dtype=np.float64)
+
+    def fn(batches):
+        for rb in batches:
+            ids, X = _pq_batch_arrays(rb)
+            codes = _pq_encode_np(X, cb)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": ids,
+                    "codes": pa.array(
+                        [row.tolist() for row in codes],
+                        type=pa.list_(pa.int32()),
+                    ),
+                }
+            )
+
+    id_type = emb.schema["vec_id"].dataType.simpleString()
+    return emb.select("vec_id", "embedding").mapInArrow(
+        fn, f"vec_id {id_type}, codes array<int>"
+    )
 
 
 def _local_topk_prune(scored: DataFrame, key: str, sort_cols: list,
@@ -589,21 +633,25 @@ def ann_pq_topk(
     shortlist: int = PQ_SHORTLIST,
 ) -> DataFrame:
     """PQ ANN: encode the corpus to ``m`` code ids map-side (ZERO
-    shuffles touch the raw vectors), score every candidate per query by
-    summing per-query LUT entries (asymmetric distance computation — the
-    LUTs are tiny driver-side dot products against the codebooks,
-    broadcast as literals), keep an ADC ``shortlist`` per query, and
-    exact-re-rank it by true cosine.
+    shuffles touch the raw vectors), score every candidate per query via
+    per-query lookup tables (asymmetric distance computation — the LUTs
+    are tiny driver-side dot products against the codebooks, shipped in
+    the kernel closure), keep a per-BATCH top-``shortlist`` per query in
+    the same map stage, then globally rank and exact-re-rank by true
+    cosine.
 
     Scale shape: the corpus is reduced to (vec_id, m codes) — 8 code
     bytes for a 64-dim float32 vector, a 32× compression, the reason PQ
-    is the standard billion-vector path. The ranking shuffle is BOUNDED:
-    ``_local_topk_prune`` keeps the per-batch top-``shortlist`` under the
-    same total order map-side, so the per-query ranking window receives
-    at most shortlist×batches short rows instead of the corpus. Queries
-    are fixture-relative ``vec_id < n_queries`` like the sibling ANN ops
-    (swap for a probe-table join on a real corpus).
+    is the standard billion-vector path. Encode + ADC + batch-prune run
+    as ONE numpy ``mapInArrow`` stage (LUT gather + ``argpartition``),
+    so the ranking shuffle receives at most shortlist×batches rows per
+    query instead of the corpus — and the plan carries no literal trees
+    (the expression form measured 101 s of Catalyst analysis/codegen for
+    a 500-row corpus; see ``pq_codes``). Queries are fixture-relative
+    ``vec_id < n_queries`` like the sibling ANN ops (swap for a
+    probe-table join on a real corpus).
     """
+    import pyarrow as pa
     from pyspark.sql import Window
 
     cbs = pq_codebooks(emb, dim, m, ksub)
@@ -623,56 +671,55 @@ def ann_pq_topk(
         return emb.sparkSession.createDataFrame(
             [], "query_id bigint, rk int, cand_id bigint, cos double"
         )
-    # LUT[q][j][c] = <q_sub_j, codeword_{j,c}>; m·ksub floats per query
-    per_q = []
-    for qid in sorted(units):
-        v = units[qid]
-        lut = [
-            [
-                float(np.dot(v[j * sd:(j + 1) * sd], np.asarray(cw)))
-                for cw in cbs[j]
-            ]
-            for j in range(m)
-        ]
-        lut_lit = F.array(
-            *[F.array(*[F.lit(x) for x in row]) for row in lut]
-        )
-        adc = F.aggregate(
-            F.zip_with(
-                F.col("codes"),
-                lut_lit,
-                lambda c, row: F.element_at(row, c + 1),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        per_q.append(
-            F.named_struct(
-                # cast: the ids come from a bigint vec_id, and the
-                # empty-input path declares query_id bigint — both paths
-                # must produce one schema
-                F.lit("query_id"), F.lit(qid).cast("long"),
-                F.lit("adc"), adc,
+    cb = np.asarray(cbs, dtype=np.float64)  # (m, ksub, sd)
+    qids = np.asarray(sorted(units), dtype=np.int64)
+    # LUT[q][j][c] = <q_sub_j, codeword_{j,c}>; (Q, m, ksub)
+    lut = np.stack(
+        [
+            np.stack(
+                [
+                    units[int(q)][j * sd:(j + 1) * sd] @ cb[j].T
+                    for j in range(m)
+                ]
             )
-        )
-    # one-element explode barrier (the minhash trick): Generate re-runs
-    # required child expressions per OUTPUT row, so without it the m·ksub
-    # encode would execute n_queries× per vector
-    codes_df = emb.select(
-        F.col("vec_id").alias("cand_id"),
-        F.explode(F.array(pq_encode_expr(F.col("embedding"), cbs))).alias(
-            "codes"
-        ),
+            for q in qids
+        ]
     )
-    scored = codes_df.select(
-        "cand_id", F.explode(F.array(*per_q)).alias("qs")
-    ).select(
-        F.col("qs.query_id").alias("query_id"),
-        "cand_id",
-        F.col("qs.adc").alias("adc"),
-    ).where(F.col("query_id") != F.col("cand_id"))
-    pruned = _local_topk_prune(
-        scored, "query_id", ["adc", "cand_id"], [False, True], shortlist
+
+    def score_prune(batches):
+        for rb in batches:
+            ids, X = _pq_batch_arrays(rb)
+            if not len(ids):
+                continue
+            codes = _pq_encode_np(X, cb)  # (B, m)
+            # adc[q, b] = Σ_j LUT[q, j, codes[b, j]] — a pure gather
+            adc = lut[:, np.arange(cb.shape[0])[None, :], codes].sum(
+                axis=2
+            )  # (Q, B)
+            out_q, out_c, out_s = [], [], []
+            for qi, qid in enumerate(qids):
+                s = adc[qi].copy()
+                mask = ids != qid
+                cand = np.nonzero(mask)[0]
+                if not len(cand):
+                    continue
+                order = cand[
+                    np.lexsort((ids[cand], -s[cand]))
+                ][:shortlist]
+                out_q.append(np.full(len(order), qid, dtype=np.int64))
+                out_c.append(ids[order].astype(np.int64))
+                out_s.append(s[order])
+            if out_q:
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "cand_id": np.concatenate(out_c),
+                        "adc": np.concatenate(out_s),
+                    }
+                )
+
+    pruned = emb.select("vec_id", "embedding").mapInArrow(
+        score_prune, "query_id bigint, cand_id bigint, adc double"
     )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("cand_id")

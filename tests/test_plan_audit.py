@@ -177,13 +177,7 @@ def test_pq_codes_compute_map_side(spark):
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     cbs = similarity.pq_codebooks(emb, dim=64)
-    codes = emb.select(
-        "vec_id",
-        similarity.pq_encode_expr(
-            similarity.F.col("embedding"), cbs
-        ).alias("codes"),
-    )
-    assert "Exchange" not in explain_str(codes)
+    assert "Exchange" not in explain_str(similarity.pq_codes(emb, cbs))
 
 
 def test_domain_mixture_broadcasts_quotas(spark):

@@ -71,6 +71,39 @@ def test_pq_recall_vs_bruteforce(spark, emb):
             assert abs(r["cos"] - bcos[key]) < 1e-9, key
 
 
+def test_local_topk_prune_preserves_global_topk(spark):
+    # the generic two-stage utility: per-batch pre-top-n then the global
+    # window equals the window alone, under any partitioning
+    import numpy as np
+    from pyspark.sql import Window, functions as F
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (int(q), int(c), float(rng.rand()))
+        for q in range(4)
+        for c in range(200)
+    ]
+    scored = spark.createDataFrame(
+        rows, "query_id bigint, cand_id bigint, score double"
+    ).repartition(7)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("cand_id")
+    )
+
+    def topk(df):
+        return sorted(
+            tuple(r)
+            for r in df.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 10)
+            .collect()
+        )
+
+    pruned = similarity._local_topk_prune(
+        scored, "query_id", ["score", "cand_id"], [False, True], 10
+    )
+    assert topk(pruned) == topk(scored)
+
+
 def test_pq_result_invariant_to_partitioning(spark, emb):
     # the map-side per-batch pre-top-k keeps a SUPERSET of the global
     # shortlist under any batching, so the final top-k is identical
@@ -86,21 +119,11 @@ def test_pq_codes_deterministic(spark, emb):
     assert cbs1 == cbs2
     c1 = sorted(
         (r["vec_id"], tuple(r["codes"]))
-        for r in emb.select(
-            "vec_id",
-            similarity.pq_encode_expr(
-                similarity.F.col("embedding"), cbs1
-            ).alias("codes"),
-        ).collect()
+        for r in similarity.pq_codes(emb, cbs1).collect()
     )
     c2 = sorted(
         (r["vec_id"], tuple(r["codes"]))
-        for r in emb.repartition(3).select(
-            "vec_id",
-            similarity.pq_encode_expr(
-                similarity.F.col("embedding"), cbs1
-            ).alias("codes"),
-        ).collect()
+        for r in similarity.pq_codes(emb.repartition(3), cbs1).collect()
     )
     assert c1 == c2
     # every vector carries exactly M codes in [0, KSUB)
