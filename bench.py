@@ -50,6 +50,10 @@ HEADLINE = [
     "chunk_documents",
     "media_embed",
     "curation_pipeline",
+    "boilerplate_removal",
+    "pii_redaction_stats",
+    "ann_pq_topk",
+    "bpe_train_stats",
 ]
 
 # per-query time = min over N_PASSES CONSECUTIVE executions: the first
