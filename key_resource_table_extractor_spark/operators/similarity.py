@@ -1,14 +1,22 @@
 """Similarity search over the `embeddings` table (array<float> vectors).
 
-- brute-force cosine top-k        (built-ins only; DuckDB-oracled)
-- LSH-bucketed ANN                (random-hyperplane signs; Spark-only,
-                                   recall oracle in tests/test_similarity.py)
+- brute-force cosine top-k  (built-ins only; DuckDB-oracled baseline)
+- LSH-bucketed ANN          (random-hyperplane signs, multi-probe)
+- IVF ANN                   (coarse quantizer + inverted-list join,
+                             optional distributed Lloyd refinement)
+- PQ ANN                    (product-quantization codes + ADC shortlist
+                             + exact re-rank; fused numpy Arrow kernel)
+- SemDeDup semantic dedup   (cluster → per-cluster blocked GEMM)
+- embedding near-dup pairs  (label blocking; DuckDB-oracled)
 
-Scale notes (100 TB): brute force is the correctness baseline — a cross join
-that only survives small query sets (broadcast the queries, never the
-corpus). The scale path is the LSH variant: each vector is hashed to a
-bucket key; the self-join shuffles (bucket, vec_id, vec) only within
-buckets, and queries probe their own bucket plus Hamming-1 neighbors.
+Scale notes (100 TB): brute force is the correctness baseline — a cross
+join that only survives small query sets (broadcast the queries, never
+the corpus). The scale paths never move raw vectors for scoring: LSH and
+IVF shuffle (bucket/list key, vec_id, vec) only within probed buckets;
+PQ reduces the corpus to m code bytes per vector map-side and bounds the
+ranking shuffle with a per-batch pre-top-k. ANN variants are rows-only
+at the gate (engine-specific bucketing) with recall-vs-brute-force
+oracles in tests/test_similarity.py.
 """
 
 from __future__ import annotations
