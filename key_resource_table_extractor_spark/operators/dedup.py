@@ -402,21 +402,25 @@ def dedup_clusters(
     """
     head = F.md5(F.lower(F.substring("text", 1, fp_len)))
     tail = F.md5(F.lower(F.expr(f"right(text, {fp_len})")))
-    keys = docs.select("doc_id", head.alias("k")).unionByName(
-        docs.select("doc_id", tail.alias("k"))
+    # in-row array_distinct: a unique doc whose head fingerprint equals
+    # its tail (any text <= fp_len chars) must contribute ONE row to that
+    # key, not two — otherwise the group-size filter below would admit it
+    # as a spurious singleton "cluster". Deduping the (at most two) keys
+    # per doc map-side keeps the group count a cheap count(1) (each doc
+    # contributes a key at most once ⇒ row count == distinct-doc count).
+    keys = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.array(head, tail))).alias("k"),
     )
-    # group size rides along so incident docs (>= 2 DISTINCT docs on some
-    # key) and their min-root INITIAL labels come from the same join —
-    # identity init would spend the whole first propagation round
-    # discovering exactly this value. The count must be over DISTINCT
-    # docs: a unique doc whose head fingerprint equals its tail (any text
-    # <= fp_len chars) contributes TWO rows to one key group and a plain
-    # row count would admit it as a spurious singleton "cluster".
+    # group size rides along so incident docs (>= 2 docs on some key) and
+    # their min-root INITIAL labels come from the same join — identity
+    # init would spend the whole first propagation round discovering
+    # exactly this value
     roots = (
         keys.groupBy("k")
         .agg(
             F.min("doc_id").alias("root"),
-            F.countDistinct("doc_id").alias("cnt"),
+            F.count(F.lit(1)).alias("cnt"),
         )
         .where(F.col("cnt") >= 2)
         .select("k", "root")
