@@ -652,6 +652,12 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
             offs = col.offsets.to_numpy(zero_copy_only=False).astype(
                 np.int64
             )
+            # a sliced/offset ListArray keeps the full child in .values
+            # with offsets that need not start at 0 — re-window so the
+            # reduceat segment math below stays valid for any arrow layout
+            vals = vals[offs[0]:offs[-1]]
+            offs = offs - offs[0]
+            assert len(vals) == offs[-1], "arrow list window mismatch"
             lens = np.diff(offs)
             scnt = lens - (n - 1)  # shingles per doc (>=1: filtered)
             tail = n - 1

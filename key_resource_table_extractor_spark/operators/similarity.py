@@ -527,6 +527,15 @@ def pq_codebooks(emb: DataFrame, dim: int, m: int = PQ_M,
         .limit(ksub)
         .collect()
     )
+    if rows:
+        actual = len(rows[0]["embedding"])
+        if actual != dim:
+            raise ValueError(
+                f"pq_codebooks: dim={dim} but embeddings have length "
+                f"{actual} — pass the table's real dimension"
+            )
+    if dim % m:
+        raise ValueError(f"pq_codebooks: dim={dim} not divisible by m={m}")
     sd = dim // m
     cbs = []
     for j in range(m):
@@ -549,9 +558,16 @@ def _pq_batch_arrays(rb):
     col = tbl.column("embedding").combine_chunks()
     vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
     offs = col.offsets.to_numpy(zero_copy_only=False)
+    # re-window for sliced/offset ListArrays (offsets need not start at 0)
+    vals = vals[offs[0]:offs[-1]]
     n = len(ids)
-    dim = (offs[1] - offs[0]) if n else 0
-    return ids, vals.reshape(n, int(dim)) if n else vals.reshape(0, 0)
+    dim = int(offs[1] - offs[0]) if n else 0
+    if n and len(vals) != n * dim:
+        raise ValueError(
+            f"ragged embedding batch: {len(vals)} values for {n} rows of "
+            f"dim {dim} — embeddings must be fixed-length"
+        )
+    return ids, vals.reshape(n, dim) if n else vals.reshape(0, 0)
 
 
 def _pq_encode_np(X: "np.ndarray", cb: "np.ndarray") -> "np.ndarray":

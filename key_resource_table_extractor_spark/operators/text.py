@@ -363,7 +363,8 @@ WITH b AS (
 )
 SELECT source,
        round(CAST(sum(rep6) AS DOUBLE) / count(*) / 1000000.0, 4) AS avg_rep,
-       sum(CASE WHEN rep6 > 100000 THEN 1 ELSE 0 END) AS n_repetitive
+       CAST(sum(CASE WHEN rep6 > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repetitive
 FROM b GROUP BY source ORDER BY source
 """
 
