@@ -95,10 +95,12 @@ def test_query_matches_duckdb(spark, entry_mod, duck, name):
 def test_gate_window_covers_flagship_and_all_oracled(entry_mod):
     """The driver records only the first DRIVER_GATE_WINDOW queries():
     the 4 flagship extraction queries and EVERY oracle-backed query
-    (minus the explicitly demoted redundancies) must sit inside that
-    window, rows-only entries after it."""
+    (minus the demoted redundancies and this round's rotated-out trio)
+    must sit inside that window, plus this round's promoted rows-only
+    trio; everything else after it."""
     names = list(entry_mod.queries())
     oracled = set(entry_mod.oracle_sql())
+    ri = entry_mod._rotation_index()
     window = set(names[: entry_mod.DRIVER_GATE_WINDOW])
     for q in (
         "extract_spans",
@@ -107,9 +109,26 @@ def test_gate_window_covers_flagship_and_all_oracled(entry_mod):
         "extract_spans_anchor",
     ):
         assert q in window, q
-    missing = (oracled - set(entry_mod.DEMOTED)) - window
+    out_this_round = set(entry_mod.DEMOTED) | set(entry_mod.D_ROTATION[ri])
+    missing = (oracled - out_this_round) - window
     assert not missing, f"D-oracled queries outside the gate: {missing}"
-    assert set(entry_mod.DEMOTED) <= oracled  # demoted ⇒ local gate checks
+    # this round's promoted rows-only trio is driver-visible
+    for q in entry_mod.ROWS_ONLY_ROTATION[ri]:
+        assert q in window, f"promoted rows-only query dark: {q}"
+    # every rotated/demoted-out name is D-oracled ⇒ local gate still
+    # value-checks it the round it is dark
+    assert out_this_round <= oracled
+    # rotation tables are well-formed: disjoint trios covering all nine
+    # rows-only registry ops, no overlap with the permanent demotions
+    ro_all = [q for t in entry_mod.ROWS_ONLY_ROTATION for q in t]
+    d_all = [q for t in entry_mod.D_ROTATION for q in t]
+    assert len(ro_all) == len(set(ro_all)) == 9
+    assert len(d_all) == len(set(d_all)) == 9
+    assert not set(d_all) & set(entry_mod.DEMOTED)
+    assert set(ro_all) == set(names) - oracled - {
+        "extract_spans", "extract_nested", "extract_nested_colspans",
+        "extract_spans_anchor",
+    }
 
 
 def test_repetition_stats_exact_across_partitionings(spark, duck):
