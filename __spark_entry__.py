@@ -78,14 +78,17 @@ def q_extract_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_extract_nested_colspans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nested output in the gold-JSON cell shape ({"content","colspan"});
-    spanning cells recovered from measured column extents (full-width
-    divider rows and physically-evident mid-row spans)."""
+    """Nested output in the gold-JSON cell shape ({"content","colspan"},
+    plus "rowspan" on recovered col-0 spanning cells); colspans recovered
+    from measured column extents (full-width divider rows and
+    physically-evident mid-row spans), rowspans from the anchor row
+    model's fold evidence (an anchor-less source line with >=2 non-empty
+    cells is a covered detected row, not a wrap fragment)."""
     spans = _spans_from_documents(spark, sf_dir)
     spans = job.salted_repartition(
         spans, spark.sparkContext.defaultParallelism
     )
-    return job.extract_nested(spans, with_colspans=True)
+    return job.extract_nested(spans, with_colspans=True, row_model="anchor")
 
 
 def q_extract_spans_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:

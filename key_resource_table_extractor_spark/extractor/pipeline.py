@@ -380,17 +380,42 @@ def _extract_doc_regions(
         row_lines = lines_idx[nonempty]
         hdr = is_header[row_lines]
         mode = row_model or ("votes" if merge_rows else "none")
+        cont_full = None
         if mode == "anchor":
             # J4 analog (reference PDFTableExtractor2.java:334-380): rows
             # lacking their col-0 anchor fold into the detected row above
             merge = (rows[:, 0] == "") & ~hdr
             merge[0] = False
+            if with_extents:
+                # col-0 ROWSPAN recovery (nested colspans output only): an
+                # anchor-less line with >=2 non-empty cells is a full
+                # detected row sharing its anchor cell — the char-space
+                # twin of a DETR spanning cell whose box y-covers several
+                # row boxes (reference table_model.py:239-264) — not a
+                # wrap fragment (wraps continue exactly one column). Keep
+                # it as its own logical row; the anchor's col-0 cell will
+                # carry rowspan = 1 + run of such covered rows below.
+                cont_full = merge & ((rows != "").sum(axis=1) >= 2)
+                merge = merge & ~cont_full
         elif mode == "votes":
             merge = _merge_flags(rows, hdr)
         else:
             merge = np.zeros(len(rows), dtype=bool)
         gid = np.cumsum(~merge) - 1
         ngroups = gid[-1] + 1
+        grp_rowspan = None
+        if with_extents:
+            grp_rowspan = np.ones(ngroups, dtype=np.int64)
+            if cont_full is not None and cont_full.any():
+                covered = np.zeros(ngroups, dtype=bool)
+                covered[gid[cont_full]] = True  # groups a covered row starts
+                run = 0
+                for g in range(ngroups - 1, -1, -1):
+                    if covered[g]:
+                        run += 1
+                    else:
+                        grp_rowspan[g] = 1 + run
+                        run = 0
         folded = np.full((ngroups, ncols), "", dtype=object)
         if with_extents:
             folded_f = np.tile(np.arange(ncols, dtype=np.int64), (ngroups, 1))
@@ -460,6 +485,9 @@ def _extract_doc_regions(
                     if with_extents:
                         out["cfirst"].append(int(folded_f[g, c]))
                         out["clast"].append(int(folded_l[g, c]))
+                        out["rowspan"].append(
+                            int(grp_rowspan[g]) if c == 0 else 1
+                        )
             else:
                 j = int(ev_payload[ix])
                 out["doc_id"].append(doc_id)
@@ -476,6 +504,7 @@ def _extract_doc_regions(
                 if with_extents:
                     out["cfirst"].append(-1)
                     out["clast"].append(-1)
+                    out["rowspan"].append(1)
         n_tables += 1
     return n_tables
 
@@ -546,6 +575,7 @@ def extract_columnar(
     if with_extents:
         out["cfirst"] = []
         out["clast"] = []
+        out["rowspan"] = []
     n_tables = 0
     n_errors = 0
     # per-doc slices (lines and media are doc-sorted)
@@ -722,23 +752,25 @@ def extract_nested_batch(
       a spanning cell whose text stays inside one trap range is emitted as
       colspan 1 (char-space limitation, documented deviation).
 
-    ROWSPAN (documented deviation): extracted cells always carry an
-    implicit ``rowspan = 1``. The reference predicts ``rowspan > 1`` from
-    DETR spanning-cell BOXES whose y-extent covers several row boxes
-    (table_model.py:239-264) — geometric evidence the span input does not
-    contain. In character space, a cell spanning k logical rows renders as
-    a value on its first line with EMPTY cells on the k-1 lines below,
-    which is byte-identical to a genuinely empty cell; and the row-merge
-    fold cannot help either, because continuation lines collapse INTO
-    their logical row before the grid exists (a fold group IS one row, so
-    ``rowspan = group size`` would mislabel ordinary wrapped rows).
-    Emitting ``rowspan > 1`` on that evidence would assert structure the
-    input cannot attest and be penalized as false topology by GriTS. The
-    scoring side is rowspan-AWARE throughout: gold ingest expands rowspan
-    occupancy (sources/gold_json.py) and the GriTS grids honor it
-    (eval/grits_like.py), so a rowspan-bearing gold table is compared
-    fairly against the flat extraction (see the rowspan cases in
-    tests/test_colspan_rowspan.py)."""
+    ROWSPAN: the reference predicts ``rowspan > 1`` from DETR
+    spanning-cell BOXES whose y-extent covers several row boxes
+    (table_model.py:239-264). Under ``row_model="anchor"`` +
+    ``with_colspans=True`` we recover the col-0 case from the anchor
+    model's own fold evidence: an anchor-less source line with >= 2
+    non-empty cells is a full detected row sharing its anchor cell (a
+    wrap fragment continues exactly ONE column), so it stays a separate
+    logical row and the anchor's col-0 cell carries ``rowspan = 1 + run``
+    over the covered rows — the char-space twin of a spanning cell's box
+    covering the rows below it. Remaining documented deviation: a
+    rowspan cell in a NON-anchor column (its covered rows still have
+    their col-0 anchor) renders byte-identically to genuinely empty
+    cells and is emitted flat, as is every rowspan under the votes
+    model, where fold groups ARE single wrapped rows and ``rowspan =
+    group size`` would mislabel them. The scoring side is rowspan-AWARE
+    throughout: gold ingest expands rowspan occupancy
+    (sources/gold_json.py) and the GriTS grids honor it
+    (eval/grits_like.py), so both recovered and unrecoverable rowspans
+    are compared fairly (tests/test_colspan_rowspan.py)."""
     if len(pdf) == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="string"),
                              "result": pd.Series(dtype="string")})
@@ -754,6 +786,7 @@ def extract_nested_batch(
     docs: dict[str, dict] = {}
     fullspan: dict[tuple, bool] = {}
     extents: dict[tuple, tuple] = {}
+    rowspans: dict[tuple, int] = {}
     for i in range(len(out["doc_id"])):
         if out["kind"][i] != spec.KIND_TEXT:
             continue
@@ -767,6 +800,8 @@ def extract_nested_batch(
             extents[(*key, out["col"][i])] = (
                 out["cfirst"][i], out["clast"][i]
             )
+            if out["col"][i] == 0 and out["rowspan"][i] > 1:
+                rowspans[key] = out["rowspan"][i]
     rows = []
     for doc_id in sorted(docs):
         pages = []
@@ -784,30 +819,81 @@ def extract_nested_batch(
                         cells,
                         [extents.get((doc_id, t, r, c), (c, c)) for c in cols],
                         fullspan.get((doc_id, t, r), False),
+                        rowspans.get((doc_id, t, r), 1),
                     )
                 )
+            if with_colspans:
+                _apply_rowspan_occupancy(grid)
             pages.append({"page": int(t) + 1, "tables": [{"rows": grid}]})
         result = {"paper_id": doc_id, "result": {"pages": pages}}
         rows.append((doc_id, json.dumps(result, sort_keys=True)))
     return pd.DataFrame(rows, columns=["doc_id", "result"])
 
 
+def _apply_rowspan_occupancy(grid: list[list[dict]]) -> list[list[dict]]:
+    """HTML occupancy for recovered rowspans (in place): a carrier cell
+    with ``rowspan = k`` occupies its columns in the k-1 rows below, so
+    those rows must OMIT their covered leading filler cells (the gold-JSON
+    convention, reference html_table_converter.py:60-72 / grits.py:420-450
+    — covered positions are absent from the row, later cells shift past
+    them). If any covered position is non-empty or misaligned (a carrier
+    whose colspan absorption conflicts with covered-row content), the
+    rowspan claim is CANCELLED rather than emitting inconsistent
+    occupancy."""
+    for i, row in enumerate(grid):
+        if not row:
+            continue
+        k = row[0].get("rowspan", 1)
+        if k <= 1:
+            continue
+        span_cols = row[0]["colspan"]
+        covered = grid[i + 1:i + k]
+        trimmed: list[list[dict]] = []
+        ok = len(covered) == k - 1
+        for cr in covered:
+            w = j = 0
+            while ok and j < len(cr) and w < span_cols:
+                if cr[j]["content"] != "":
+                    ok = False
+                w += cr[j]["colspan"]
+                j += 1
+            if w != span_cols:
+                ok = False
+            if not ok:
+                break
+            trimmed.append(cr[j:])
+        if ok:
+            for off, tr in enumerate(trimmed):
+                grid[i + 1 + off] = tr
+        else:
+            grid[i] = [
+                {c: v for c, v in row[0].items() if c != "rowspan"}
+            ] + row[1:]
+    return grid
+
+
 def _cells_with_colspans(
-    cells: list, exts: list, is_fullspan: bool
+    cells: list, exts: list, is_fullspan: bool, rowspan: int = 1
 ) -> list[dict]:
     """Render one logical row into gold-JSON ``{"content", "colspan"}`` cells
     using the cells' physical column extents (see ``extract_nested_batch``).
     Claiming is left-to-right; a span absorbs only free EMPTY neighbors
-    within its measured extent, so two competing spans never overlap."""
+    within its measured extent, so two competing spans never overlap.
+    ``rowspan > 1`` (anchor-model col-0 recovery) is carried on the cell
+    covering column 0, matching the gold-JSON attribute shape (reference
+    html_table_converter.py:60-72)."""
     ncols = len(cells)
     if is_fullspan:
         content_idx = next(
             (c for c in range(ncols) if cells[c] != ""), 0
         )
         cf = min(max(exts[content_idx][0], 0), content_idx)
-        return [{"content": "", "colspan": 1}] * cf + [
+        row_cells = [{"content": "", "colspan": 1}] * cf + [
             {"content": cells[content_idx], "colspan": ncols - cf}
         ]
+        if rowspan > 1:
+            row_cells[0] = {**row_cells[0], "rowspan": rowspan}
+        return row_cells
     owner = list(range(ncols))
     for c in range(ncols):
         if cells[c] == "":
@@ -830,6 +916,8 @@ def _cells_with_colspans(
             k += 1
         row_cells.append({"content": cells[o], "colspan": k})
         c += k
+    if rowspan > 1 and row_cells:
+        row_cells[0] = {**row_cells[0], "rowspan": rowspan}
     return row_cells
 
 

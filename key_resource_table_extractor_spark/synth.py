@@ -69,6 +69,16 @@ def _krt_rows(r: Random, n_rows: int) -> list[str]:
             col = r.choice((1, 2))
             indent = sum(COL_WIDTHS[:col])
             out.append(" " * indent + cont)
+        elif r.random() < 0.18:  # col-0 rowspan shape: anchor-less FULL
+            # rows (content in >=2 columns) sharing the row above's
+            # anchor cell — the covered-row rendering of a rowspan cell
+            for _ in range(r.randint(1, 2)):
+                sub = f"{r.choice(WORDS)} variant"
+                kind2 = r.choice(("AB", "SCR"))
+                id2 = f"RRID:{kind2}_{r.randint(1, 999999):06d}"
+                out.append(
+                    " " * COL_WIDTHS[0] + _pad(sub, COL_WIDTHS[1]) + id2
+                )
     return out
 
 

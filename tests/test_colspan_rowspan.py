@@ -181,3 +181,112 @@ def test_grits_grid_rowspan_occupancy():
     # the positional variant (no occupancy expansion) sees the extra filler
     # cell — strictly less credit, never more
     assert grits_content(gold_table_grid(ROWSPAN_TBL), dict_rows)[2] < 1.0
+
+
+ROWSPAN_COL0_TBL = {
+    # a col-0 spanning cell over two full detected rows — the shape the
+    # anchor model can attest (reference spanning-cell boxes y-covering
+    # row boxes, table_model.py:239-264, reduced to char space)
+    "name": "rowspan_col0",
+    "rows": [
+        [_cell("REAGENT and RESOURCE"), _cell("SOURCE"),
+         _cell("IDENTIFIER")],
+        [_cell("Antibody pair kit", rowspan=2), _cell("anti-X mouse"),
+         _cell("RRID:AB_11111")],
+        [_cell("anti-Y rabbit"), _cell("RRID:AB_22222")],
+        [_cell("Bar protein"), _cell("Sigma"), _cell("RRID:SCR_004422")],
+    ],
+}
+
+
+def test_anchor_rowspan_gold_round_trip():
+    """Gold-parity: a col-0 rowspan=2 table rendered to spans and
+    extracted under row_model="anchor" + with_colspans reproduces the
+    gold-JSON cell shape exactly — carrier cell bears rowspan=2, covered
+    row OMITS the covered position (HTML occupancy), and the rowspan-aware
+    GriTS grids score full identity."""
+    nested = extract_nested_batch(
+        _pdf_of(ROWSPAN_COL0_TBL), row_model="anchor", with_colspans=True
+    )
+    rows = _nested_rows(nested)
+    pred = rows[1:]  # drop the prepended title row
+    carrier = pred[1][0]
+    assert carrier == {
+        "content": "Antibody pair kit", "colspan": 1, "rowspan": 2
+    }
+    # covered row omits the covered col-0 position: two cells only
+    assert [(c["content"], c["colspan"]) for c in pred[2]] == [
+        ("anti-Y rabbit", 1), ("RRID:AB_22222", 1)
+    ]
+    gold = ROWSPAN_COL0_TBL["rows"]
+    assert grits_content(pred, gold) == (1.0, 1.0, 1.0)
+    assert grits_factored(pred, gold) == (1.0, 1.0, 1.0, 1.0)
+
+
+def test_anchor_rowspan_run_of_three():
+    """rowspan = 1 + run of consecutive covered rows."""
+    tbl = {
+        "name": "rowspan3",
+        "rows": [
+            [_cell("REAGENT and RESOURCE"), _cell("SOURCE"),
+             _cell("IDENTIFIER")],
+            [_cell("Oligo set", rowspan=3), _cell("fwd GGTACC"),
+             _cell("RRID:AB_1")],
+            [_cell("rev AAGCTT"), _cell("RRID:AB_2")],
+            [_cell("probe TTGGCC"), _cell("RRID:AB_3")],
+            [_cell("Bar protein"), _cell("Sigma"), _cell("RRID:SCR_44")],
+        ],
+    }
+    pred = _nested_rows(
+        extract_nested_batch(_pdf_of(tbl), row_model="anchor",
+                             with_colspans=True)
+    )[1:]
+    assert pred[1][0]["rowspan"] == 3
+    assert len(pred[2]) == 2 and len(pred[3]) == 2
+    assert grits_factored(pred, tbl["rows"]) == (1.0, 1.0, 1.0, 1.0)
+
+
+def test_anchor_rowspan_skips_wrap_fragments():
+    """A continuation line with content in exactly ONE column is a wrap
+    fragment: it folds into the row above and NO rowspan is asserted."""
+    doc = [
+        ("text", "Key Resources Table", "", 0),
+        ("text", "REAGENT and RESOURCE   SOURCE   IDENTIFIER", "", 1),
+        ("text", "Anti-Foo antibody      Abcam    RRID:AB_123456", "", 2),
+        ("text", "                       extra", "", 3),
+        ("text", "Bar protein            Sigma    RRID:SCR_004422", "", 4),
+    ]
+    pdf = pd.DataFrame(
+        [("d0", [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for (k, t, m, o) in doc
+        ])],
+        columns=["doc_id", "spans"],
+    )
+    rows = _nested_rows(
+        extract_nested_batch(pdf, row_model="anchor", with_colspans=True)
+    )
+    assert not any("rowspan" in c for r in rows for c in r)
+    foo = next(r for r in rows if r[0]["content"].startswith("Anti-Foo"))
+    assert foo[1]["content"] == "Abcam extra"  # wrap folded as before
+
+
+def test_non_anchor_rowspan_still_flat():
+    """A rowspan in a NON-col-0 column (covered rows keep their anchors)
+    has no fold evidence — emitted flat, scored fairly by the
+    rowspan-aware grids (unchanged documented deviation)."""
+    rows = _nested_rows(
+        extract_nested_batch(_pdf_of(ROWSPAN_TBL), row_model="anchor",
+                             with_colspans=True)
+    )
+    assert not any("rowspan" in c for r in rows for c in r)
+
+
+def test_votes_model_emits_no_rowspans():
+    """Rowspan recovery is anchor-model-only: the votes model's fold
+    groups are single wrapped rows, so the default nested-colspans path
+    stays rowspan-free on the same input."""
+    rows = _nested_rows(
+        extract_nested_batch(_pdf_of(ROWSPAN_COL0_TBL), with_colspans=True)
+    )
+    assert not any("rowspan" in c for r in rows for c in r)
