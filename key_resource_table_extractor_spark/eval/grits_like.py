@@ -149,24 +149,43 @@ def grits_both(pred_rows: list[list], gold_rows: list[list]):
 
 def _align_pairs(items_a, items_b, sim_fn):
     """Order-preserving alignment maximizing total pairwise similarity;
-    returns the matched (i, j) index pairs (classic LCS-style DP)."""
+    returns the matched (i, j) index pairs. Pointers are recorded in the
+    forward pass with the published tie-breaking order — diagonal first,
+    then skip-a, then skip-b (GriTS reference grits.py:99-117,146-161) —
+    so alignments are deterministic and bit-comparable against an
+    independent implementation of the same algorithm."""
     na, nb = len(items_a), len(items_b)
     dp = [[0.0] * (nb + 1) for _ in range(na + 1)]
+    ptr = [[0] * (nb + 1) for _ in range(na + 1)]
+    for i in range(1, na + 1):
+        ptr[i][0] = -1
+    for j in range(1, nb + 1):
+        ptr[0][j] = 1
     for i in range(1, na + 1):
         for j in range(1, nb + 1):
             match = dp[i - 1][j - 1] + sim_fn(items_a[i - 1], items_b[j - 1])
-            dp[i][j] = max(dp[i - 1][j], dp[i][j - 1], match)
+            skip_a = dp[i - 1][j]
+            skip_b = dp[i][j - 1]
+            best = max(match, skip_a, skip_b)
+            dp[i][j] = best
+            if match == best:
+                ptr[i][j] = 0
+            elif skip_a == best:
+                ptr[i][j] = -1
+            else:
+                ptr[i][j] = 1
     pairs = []
     i, j = na, nb
-    while i > 0 and j > 0:
-        m = dp[i - 1][j - 1] + sim_fn(items_a[i - 1], items_b[j - 1])
-        if dp[i][j] == m and m >= max(dp[i - 1][j], dp[i][j - 1]):
-            pairs.append((i - 1, j - 1))
-            i, j = i - 1, j - 1
-        elif dp[i - 1][j] >= dp[i][j - 1]:
+    while i or j:
+        p = ptr[i][j]
+        if p == -1:
             i -= 1
-        else:
+        elif p == 1:
             j -= 1
+        else:
+            i -= 1
+            j -= 1
+            pairs.append((i, j))
     pairs.reverse()
     return pairs
 
@@ -234,11 +253,14 @@ def _sim_or_pad(a, b) -> float:
 
 def grits_factored(pred_rows: list[list], gold_rows: list[list]):
     """(precision, recall, f1, upper_bound) under the factored 2D-MSS: rows
-    are aligned by an order-preserving DP, then columns are aligned by a
-    second DP over the row-aligned tables, and the gain is summed over
-    aligned (row, column) intersections. Unlike the positional variant
-    above, a spurious inserted/deleted COLUMN only costs its own mass
-    instead of shifting every later column off alignment.
+    and columns are EACH aligned by an independent order-preserving DP
+    whose pairwise reward is the free inner 1D alignment (rows on the
+    grids, columns on the transposed grids), and the consistent gain is
+    summed over aligned (row, column) intersections — the published
+    polynomial factorization of the NP-hard 2D-MSS (Smock et al., GriTS;
+    reference grits.py:166-213). Unlike the positional variant above, a
+    spurious inserted/deleted COLUMN only costs its own mass instead of
+    shifting every later column off alignment.
 
     ``upper_bound`` is the reference's diagnostic f-score bound on the true
     (NP-hard) 2D-MSS (grits.py:199-205,214): the min of the row-stage and
@@ -251,18 +273,20 @@ def grits_factored(pred_rows: list[list], gold_rows: list[list]):
     gp, gg = _grid_of(pred_rows), _grid_of(gold_rows)
     if not gp or not gg or not gp[0] or not gg[0]:
         return (0.0, 0.0, 0.0, 0.0)
-    row_pairs = _align_pairs(
-        gp, gg, lambda ra, rb: sum(
-            _sim_or_pad(a, b) for a, b in zip(ra, rb)
-        )
-    )
     cols_p = list(zip(*gp))
     cols_g = list(zip(*gg))
-
-    def col_sim(ca, cb):
-        return sum(_sim_or_pad(ca[i], cb[j]) for i, j in row_pairs)
-
-    col_pairs = _align_pairs(cols_p, cols_g, col_sim)
+    # both stages use the FREE inner 1D alignment as the pairwise reward
+    # and align independently (rows on the grids, columns on the
+    # transposed grids), exactly as published (reference grits.py:166-213:
+    # align_2d_outer over rows, then over the transpose); gold is the
+    # first sequence so skip-gold wins ties over skip-pred, matching the
+    # reference's pointer convention
+    row_pairs = [
+        (p, g) for g, p in _align_pairs(gg, gp, _free_inner_sim)
+    ]
+    col_pairs = [
+        (p, g) for g, p in _align_pairs(cols_g, cols_p, _free_inner_sim)
+    ]
     gained = sum(
         _sim_or_pad(gp[i][c], gg[j][d])
         for i, j in row_pairs

@@ -107,16 +107,23 @@ def test_factored_alignment_rescues_inserted_column():
 def test_factored_upper_bound():
     """The upper-bound diagnostic (reference grits.py:199-205,214): always
     >= f1, == f1 on identity, and STRICTLY above f1 for a prediction whose
-    row and column structure cannot be consistently reconciled (here: a
-    180-degree rotation — each free per-stage alignment still finds a cell,
-    but no single consistent row+column alignment matches anything)."""
+    free per-stage row and column alignments cannot be reconciled into one
+    consistent (row, column) alignment."""
     from key_resource_table_extractor_spark.eval import grits_factored
 
+    # 180-degree rotation: under the published factored algorithm each
+    # stage's free alignment salvages exactly one cell, and the consistent
+    # intersection realizes it — partial credit, bound tight
     gold = [["aaaa", "bbbb"], ["cccc", "dddd"]]
     rotated = [["dddd", "cccc"], ["bbbb", "aaaa"]]
     p, r, f1, ub = grits_factored(rotated, gold)
-    assert f1 == 0.0
-    assert ub > f1, (f1, ub)
+    assert f1 == ub == 0.25, (f1, ub)
+    # strict gap: the row stage and column stage each find alignments the
+    # consistent intersection cannot realize simultaneously
+    gap_pred = [["eeee", "ffff"], ["aaaa", "eeee"]]
+    gap_gold = [["aaaa", "eeee", "eeee"], ["ffff", "bbbb", "cccc"]]
+    _p, _r, f, u = grits_factored(gap_pred, gap_gold)
+    assert u > f, (f, u)
     # invariant on ordinary perturbations too
     for pred in ([["aaaa", "bbbb"]], [["aaaa", "XX", "bbbb"]], gold):
         _p, _r, f, u = grits_factored(pred, gold)
