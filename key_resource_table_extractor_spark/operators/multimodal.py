@@ -215,14 +215,16 @@ def q_media_resize(spark, sf_dir):
         "out_w",
         "out_h",
         F.length("payload").cast("int").alias("out_bytes"),
-        F.md5("payload").alias("payload_md5"),
+        # md5 over the HEX of the byte prefix, not md5(binary): DuckDB has
+        # no BLOB slice or md5(BLOB), but hex is byte-faithful (2 chars per
+        # byte, uppercase in both engines), so the digest stays BYTE-exact
+        # on multi-byte text — a char-based substr oracle would diverge the
+        # moment a prefix splits a UTF-8 sequence (tests/test_nonascii_gate)
+        F.md5(F.hex("payload")).alias("payload_md5"),
     ).orderBy("doc_id")
 
 
 SQL_MEDIA_RESIZE = f"""
--- DuckDB has no BLOB slice; the fixture text is ASCII, so the byte
--- prefix equals the character prefix and md5(varchar) hashes the same
--- UTF-8 bytes Spark's md5(binary) sees.
 WITH meta AS (
   SELECT doc_id, text,
          CAST(octet_length(encode(text)) AS BIGINT) AS nb,
@@ -230,7 +232,7 @@ WITH meta AS (
          CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS h
   FROM documents
 ), sized AS (
-  SELECT doc_id, text,
+  SELECT doc_id, text, nb,
          least(greatest((nb * {RESIZE_TARGET_W} * {RESIZE_TARGET_H})
                         // (w * h), 1), nb) AS out_n
   FROM meta
@@ -239,7 +241,8 @@ SELECT doc_id,
        CAST({RESIZE_TARGET_W} AS INT) AS out_w,
        CAST({RESIZE_TARGET_H} AS INT) AS out_h,
        CAST(out_n AS INT) AS out_bytes,
-       md5(substr(text, 1, CAST(out_n AS INT))) AS payload_md5
+       md5(substring(hex(encode(text)), 1, CAST(2 * out_n AS BIGINT)))
+         AS payload_md5
 FROM sized ORDER BY doc_id
 """
 
