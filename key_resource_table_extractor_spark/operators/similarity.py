@@ -183,8 +183,24 @@ def q_ann_lsh_topk(spark, sf_dir):
 # IVF-bucketed ANN (second scale path; Spark-only)
 # --------------------------------------------------------------------------
 
-IVF_NLIST = 8  # coarse centroids (inverted lists)
-IVF_NPROBE = 5  # lists probed per query
+IVF_NLIST = 8  # coarse centroids (inverted lists) — fixture floor
+IVF_NPROBE = 5  # lists probed per query — fixture floor
+
+
+def derived_ivf_params(n: int) -> tuple[int, int]:
+    """Corpus-derived IVF knobs: nlist ≈ √n (the standard inverted-list
+    heuristic — balances expected list length n/nlist against probe
+    fan-out; at 10^9 vectors this lands at ~32k lists), floored at the
+    fixture constants and capped at 2^16; nprobe = max(floor, nlist//2).
+    The half-probe default is sized for the ISOTROPIC fixture embeddings
+    — the worst case for IVF, where neighbors have no cluster structure
+    and recall tracks the scanned fraction (measured: nlist//4 → 0.42-
+    0.54 recall@5, nlist//2 + one Lloyd pass → 0.82; the recall
+    regression below pins this at two corpus sizes). On a real clustered
+    corpus the same derivation over-scans and nprobe should be tuned
+    down toward nlist//10."""
+    nlist = max(IVF_NLIST, min(1 << 16, int(round(n ** 0.5))))
+    return nlist, max(IVF_NPROBE, nlist // 2)
 
 
 def ivf_centroids(emb: DataFrame, nlist: int = IVF_NLIST) -> list:
@@ -348,7 +364,12 @@ def ann_ivf_topk(
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    return ann_ivf_topk(load(spark, sf_dir, "embeddings"))
+    emb = load(spark, sf_dir, "embeddings")
+    nlist, nprobe = derived_ivf_params(emb.count())
+    # one Lloyd pass over the hash seeds: +0.08 recall@5 measured on the
+    # isotropic fixtures, one extra bounded-aggregate pass
+    return ann_ivf_topk(emb, nlist=nlist, nprobe=nprobe,
+                        refine_iterations=1)
 
 
 # --------------------------------------------------------------------------
@@ -443,7 +464,8 @@ def semantic_dedup(
 def q_semantic_dedup(spark, sf_dir):
     # bounded output for the driver: per-cluster corpus vs kept counts
     emb = load(spark, sf_dir, "embeddings")
-    kept = semantic_dedup(emb, threshold=0.9)
+    nlist, _ = derived_ivf_params(emb.count())
+    kept = semantic_dedup(emb, threshold=0.9, nlist=nlist)
     return (
         kept.groupBy("cid")
         .agg(
@@ -499,8 +521,20 @@ ORDER BY id_a, id_b
 # the true ranking signal): m=8/ksub=16/shortlist=100 reaches recall@5
 # ≈ 0.82 vs brute force; m=4 (bigger compression) drops to ≈ 0.6.
 PQ_M = 8            # subspaces (codes per vector)
-PQ_KSUB = 16        # codewords per subspace
-PQ_SHORTLIST = 100  # ADC shortlist re-ranked with exact cosine
+PQ_KSUB = 16        # codewords per subspace — fixture floor
+PQ_SHORTLIST = 100  # ADC shortlist re-ranked with exact cosine — floor
+
+
+def derived_pq_params(n: int) -> tuple[int, int]:
+    """Corpus-derived PQ knobs: ksub grows with the training sample
+    toward the standard 256 (one code byte per subspace) but never
+    exceeds n/8 — the seeded codebook sample must stay a small fraction
+    of the corpus to generalize; shortlist ≈ 10·√n keeps the exact
+    re-rank o(n) per query while widening with corpus size (a fixed
+    shortlist's recall decays as the candidate pool grows)."""
+    ksub = max(PQ_KSUB, min(256, n // 8))
+    shortlist = max(PQ_SHORTLIST, min(1000, int(10 * n ** 0.5)))
+    return ksub, shortlist
 
 
 def _l2sq(a, b):
@@ -784,7 +818,9 @@ def ann_pq_topk(
 
 
 def q_ann_pq_topk(spark, sf_dir):
-    return ann_pq_topk(load(spark, sf_dir, "embeddings"))
+    emb = load(spark, sf_dir, "embeddings")
+    ksub, shortlist = derived_pq_params(emb.count())
+    return ann_pq_topk(emb, ksub=ksub, shortlist=shortlist)
 
 
 QUERIES = {

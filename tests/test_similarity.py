@@ -369,3 +369,43 @@ def test_media_resize_empty_payload_stays_empty(spark):
     )
     row = resize_media(docs).collect()[0]
     assert bytes(row["payload"]) == b""
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.1"])
+def test_derived_params_recall_two_sizes(spark, sf_dir):
+    """Scale-parameterization regression (VERDICT r4 item 6): the
+    corpus-derived IVF/PQ knobs (nlist ≈ √n, half-probe, ksub → n/8,
+    shortlist ≈ 10·√n) must hold the recall contract at BOTH fixture
+    corpus sizes, so the derivation can't silently rot as constants or
+    corpora change."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    nlist, nprobe = similarity.derived_ivf_params(n)
+    ksub, shortlist = similarity.derived_pq_params(n)
+    assert nlist >= similarity.IVF_NLIST
+    assert ksub >= similarity.PQ_KSUB
+    k = 5
+    brute = similarity.cosine_topk(emb, n_queries=10, k=k).collect()
+    gold = {}
+    for r in brute:
+        gold.setdefault(r["query_id"], set()).add(r["cand_id"])
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["cand_id"])
+        recs = [
+            len(gold[q] & got.get(q, set())) / len(gold[q]) for q in gold
+        ]
+        return sum(recs) / len(recs)
+
+    ivf = similarity.ann_ivf_topk(
+        emb, n_queries=10, k=k, nlist=nlist, nprobe=nprobe,
+        refine_iterations=1,
+    ).collect()
+    assert recall(ivf) >= 0.6, (n, nlist, nprobe)
+    pq = similarity.ann_pq_topk(
+        emb, n_queries=10, k=k, ksub=ksub, shortlist=shortlist
+    ).collect()
+    assert recall(pq) >= 0.8, (n, ksub, shortlist)
