@@ -222,49 +222,127 @@ def ivf_centroids(emb: DataFrame, nlist: int = IVF_NLIST) -> list:
     ]
 
 
+def _unit_centroid_matrix(cents) -> "np.ndarray":
+    """(nlist, dim) float64 matrix of unit-normalized centroids; dot
+    against it orders by cosine (row norms are per-row positive
+    constants)."""
+    arr = np.asarray([c for _cid, c in cents], dtype=np.float64)
+    nrm = np.linalg.norm(arr, axis=1)
+    nrm[nrm == 0.0] = 1.0
+    return arr / nrm[:, None]
+
+
+def ivf_assign_arrow(emb: DataFrame, cents,
+                     id_col: str = "vec_id") -> DataFrame:
+    """(id, embedding, cid) via ONE numpy ``mapInArrow`` stage — the
+    centroid matrix rides in the kernel closure, so the plan carries no
+    literal trees. The expression scorer (``ivf_assign_expr``) is kept
+    for tiny nlist and as the cross-check oracle, but Catalyst evaluates
+    array HOFs interpreted: at the derived nlist ≈ √n the interpreted
+    nlist×dim multiply-adds per row dominated the ANN queries (measured
+    13.8 s at sf0.1/nlist=45 vs 2.1 s at the fixture nlist=8; this
+    kernel returns the query to ~2 s — the round-4 PQ lesson applied to
+    IVF)."""
+    U = _unit_centroid_matrix(cents)
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            ids, X = _pq_batch_arrays(rb)
+            cid = (
+                np.argmax(U @ X.T, axis=0).astype(np.int32)
+                if len(ids)
+                else np.empty(0, dtype=np.int32)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("vec_id")),
+                    rb.column(rb.schema.get_field_index("embedding")),
+                    pa.array(cid, type=pa.int32()),
+                ],
+                names=[id_col, "embedding", "cid"],
+            )
+
+    # passthrough columns keep their INPUT arrow types — declare them
+    # from the source schema (a float32 list re-declared as
+    # array<double> fails at the JVM ArrowColumnVector accessor)
+    emb_t = emb.schema["embedding"].dataType.simpleString()
+    return emb.select("vec_id", "embedding").mapInArrow(
+        fn, f"{id_col} bigint, embedding {emb_t}, cid int"
+    )
+
+
 def ivf_refined_centroids(
     emb: DataFrame, nlist: int = IVF_NLIST, iterations: int = 1
 ) -> list:
     """Lloyd-refined coarse quantizer: start from the hash-sampled seeds
-    and run k-means iterations fully distributed — assign every vector to
-    its nearest centroid (map-only, the single-literal scorer below), then
-    per-centroid elementwise means via posexplode + groupBy(cid, pos).
-    Only nlist × dim aggregate rows ever reach the driver. Empty lists
-    keep their previous centroid (standard k-means convention)."""
+    and run k-means iterations fully distributed. Each iteration is ONE
+    numpy ``mapInArrow`` pass that assigns a whole partition and reduces
+    it to per-centroid (cid, count, sum-vector) partials in the kernel —
+    the corpus is scored once per iteration in vectorized numpy and the
+    shuffle carries only nlist × npartitions partial rows (the round-4
+    PQ lesson: interpreted HOF scoring and the corpus-wide posexplode
+    both disappear). The groupBy then folds partials to nlist × dim
+    aggregate rows, the only thing reaching the driver. Empty lists keep
+    their previous centroid (standard k-means convention)."""
     cents = ivf_centroids(emb, nlist)
     dim = len(cents[0][1]) if cents else 0
     for _ in range(iterations):
-        # materialize the assignment BEFORE exploding: Generate's
-        # whole-stage codegen re-evaluates required child expressions per
-        # OUTPUT row, so without the barrier the (interpreted-HOF) scorer
-        # runs dim× per vector — A/B: 5-7s → sub-second at sf0.1. The
-        # optimizer's CollapseProject would merge two plain projections
-        # back together, hence a real materialization point (at warehouse
-        # scale this is the per-iteration assignment-table write). persist
-        # (not localCheckpoint) so each iteration's copy is RELEASED at
-        # the end of its round — the assignment lineage is flat (one
-        # select over emb; centroids are literals), so nothing needs
-        # lineage truncation.
-        from pyspark import StorageLevel
+        U = _unit_centroid_matrix(cents)
 
-        assigned = emb.select(
-            ivf_assign_expr(F.col("embedding"), cents).alias("cid"),
-            "embedding",
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        def fn(batches, U=U):
+            import pyarrow as pa
+
+            sums = np.zeros((len(U), dim), dtype=np.float64)
+            cnts = np.zeros(len(U), dtype=np.int64)
+            for rb in batches:
+                ids, X = _pq_batch_arrays(rb)
+                if not len(ids):
+                    continue
+                cid = np.argmax(U @ X.T, axis=0)
+                np.add.at(sums, cid, X)
+                cnts += np.bincount(cid, minlength=len(U))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.arange(len(U), dtype=np.int32)),
+                    pa.array(cnts),
+                    pa.array(list(sums), type=pa.list_(pa.float64())),
+                ],
+                names=["cid", "cnt", "s"],
+            )
+
+        partials = emb.select("vec_id", "embedding").mapInArrow(
+            fn, "cid int, cnt bigint, s array<double>"
+        )
         means = (
-            assigned.select(
-                "cid", F.posexplode("embedding").alias("pos", "v")
+            partials.select(
+                "cid", "cnt", F.posexplode("s").alias("pos", "v")
             )
             .groupBy("cid", "pos")
-            .agg(F.avg("v").alias("m"))
+            .agg(
+                F.sum("v").alias("sv"),
+                F.sum("cnt").alias("sc"),
+            )
             .collect()
         )
-        assigned.unpersist()
         by_cid: dict[int, list] = {}
+        counts: dict[int, int] = {}
         for r in means:
-            by_cid.setdefault(r["cid"], [0.0] * dim)[r["pos"]] = float(r["m"])
+            by_cid.setdefault(r["cid"], [0.0] * dim)[r["pos"]] = float(
+                r["sv"]
+            )
+            # every (cid, pos) group sums the same per-partition counts,
+            # so sc is the full per-cid count regardless of pos
+            counts[r["cid"]] = int(r["sc"])
         cents = [
-            (cid, by_cid.get(cid, c)) for cid, c in cents
+            (
+                cid,
+                [x / counts[cid] for x in by_cid[cid]]
+                if counts.get(cid)
+                else c,
+            )
+            for cid, c in cents
         ]
     return cents
 
@@ -323,8 +401,12 @@ def ann_ivf_topk(
     """IVF-flat ANN: corpus vectors hash-join on their inverted-list id,
     queries probe their nprobe nearest lists. The shuffle carries only
     (cid, vec_id, vec) within probed lists — never the full cross join —
-    and queries are broadcast (small side). The second scale path next to
-    the LSH variant; recall-vs-brute-force oracle in tests."""
+    and queries are broadcast (small side). Corpus assignment is the
+    Arrow kernel (no literal trees in the plan); the n_queries probe
+    lists are computed driver-side from the already-collected query
+    vectors (bounded by n_queries, the same driver materialization the
+    PQ path makes). The second scale path next to the LSH variant;
+    recall-vs-brute-force oracle in tests."""
     from pyspark.sql import Window
 
     cents = (
@@ -332,17 +414,31 @@ def ann_ivf_topk(
         if refine_iterations
         else ivf_centroids(emb, nlist)
     )
-    cand = emb.select(
+    cand = ivf_assign_arrow(emb, cents).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("ce"),
-        ivf_assign_expr(F.col("embedding"), cents).alias("cid"),
+        "cid",
     )
-    q = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.explode(
-            ivf_probe_expr(F.col("embedding"), cents, nprobe)
-        ).alias("cid"),
+    qrows = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not qrows or not cents:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id bigint, rk int, cand_id bigint, cos double"
+        )
+    U = _unit_centroid_matrix(cents)
+    probe_rows = []
+    for r in qrows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        order = np.argsort(-(U @ v), kind="stable")[:nprobe]
+        for cid in order:
+            probe_rows.append(
+                (int(r["vec_id"]), int(cid), [float(x) for x in v])
+            )
+    q = emb.sparkSession.createDataFrame(
+        probe_rows, "query_id bigint, cid int, qe array<double>"
     )
     scored = (
         F.broadcast(q)
@@ -389,7 +485,7 @@ def semantic_dedup(
     keep-one rule. Returns the kept ``(vec_id, cid)`` rows.
 
     100 TB shape: the coarse quantizer is nlist rows on the driver (with a
-    distributed Lloyd pass); assignment is a map-only single-literal scorer;
+    distributed Lloyd pass); assignment is the map-only Arrow kernel;
     the pair space is bounded per cluster ((n/nlist)² · nlist « n²) and the
     self-join shuffles on the short ``cid`` key. Cross-cluster duplicates
     are missed by construction — the documented SemDeDup recall trade-off
@@ -402,19 +498,14 @@ def semantic_dedup(
         if refine_iterations
         else ivf_centroids(emb, nlist)
     )
-    # persist: the nlist-literal centroid scorer is the dominant per-row
-    # cost and `assigned` feeds TWO consumers (the per-cluster GEMM input
-    # and the keep anti-join) — without a cache each one re-scores every
-    # row (exchange reuse does not cover multi-consumer intermediates
-    # here). At warehouse scale this is the "materialize the assignment
-    # table once" step.
+    # persist: `assigned` feeds TWO consumers (the per-cluster GEMM input
+    # and the keep anti-join) — without a cache each one re-runs the
+    # Arrow assignment over every row (exchange reuse does not cover
+    # multi-consumer intermediates here). At warehouse scale this is the
+    # "materialize the assignment table once" step.
     assigned = _persist_bounded(
         "semantic_dedup_assigned",
-        emb.select(
-            "vec_id",
-            "embedding",
-            ivf_assign_expr(F.col("embedding"), cents).alias("cid"),
-        ),
+        ivf_assign_arrow(emb, cents),
     )
     # within-cluster near-dup detection is a per-cluster GEMM
     # (applyInPandas → Arrow batch → one blocked U·Uᵀ per cluster), not an

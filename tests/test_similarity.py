@@ -183,6 +183,15 @@ def test_ivf_assignment_deterministic(spark, emb):
         ).collect()
     )
     assert a1 == a2
+    # the Arrow kernel (the production path) agrees with the expression
+    # scorer, which doubles as its independent oracle
+    a3 = sorted(
+        (r["vec_id"], r["cid"])
+        for r in similarity.ivf_assign_arrow(emb, c1)
+        .select("vec_id", "cid")
+        .collect()
+    )
+    assert a3 == a1
 
 
 def test_bruteforce_topk_self_consistency(spark, emb):
