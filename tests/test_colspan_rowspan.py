@@ -290,3 +290,66 @@ def test_votes_model_emits_no_rowspans():
         extract_nested_batch(_pdf_of(ROWSPAN_COL0_TBL), with_colspans=True)
     )
     assert not any("rowspan" in c for r in rows for c in r)
+
+
+def test_rowspan_property_round_trip():
+    """Property: random gold tables whose only spanning structure is
+    col-0 rowspans over full rows round-trip EXACTLY through render →
+    anchor extraction → nested colspans (carrier attr + occupancy), and
+    GriTS scores full identity. Deterministic seed sweep (hypothesis-
+    style without the Spark-session cost per example)."""
+    import random
+
+    from key_resource_table_extractor_spark.eval.grits_like import (
+        grits_topology,
+    )
+
+    rng = random.Random(99)
+    words = ["Abcam", "Sigma", "probe", "vector", "kit", "assay"]
+    for trial in range(40):
+        rows = [[_cell("REAGENT and RESOURCE"), _cell("SOURCE"),
+                 _cell("IDENTIFIER")]]
+        r_i = 0
+        while r_i < rng.randint(2, 6):
+            span = rng.choice([1, 1, 2, 3])
+            name = f"{rng.choice(words).capitalize()} item{trial}_{r_i}"
+            lead = [_cell(name, rowspan=span) if span > 1 else _cell(name)]
+            rows.append(lead + [
+                _cell(f"{rng.choice(words)} v{r_i}"),
+                _cell(f"RRID:AB_{rng.randint(1, 99999):05d}"),
+            ])
+            for s in range(1, span):
+                rows.append([
+                    _cell(f"{rng.choice(words)} v{r_i}_{s}"),
+                    _cell(f"RRID:AB_{rng.randint(1, 99999):05d}"),
+                ])
+            r_i += span
+        tbl = {"name": f"prop{trial}", "rows": rows}
+        pred = _nested_rows(
+            extract_nested_batch(_pdf_of(tbl), row_model="anchor",
+                                 with_colspans=True)
+        )[1:]
+        c = grits_content(pred, rows)
+        t = grits_factored(pred, rows)
+        topo = grits_topology(pred, rows)
+        assert c == (1.0, 1.0, 1.0), (trial, pred, rows)
+        assert t == (1.0, 1.0, 1.0, 1.0), trial
+        assert topo == (1.0, 1.0, 1.0), trial
+
+
+def test_rowspan_cancelled_on_conflicting_occupancy():
+    """_apply_rowspan_occupancy cancels the claim (rather than emitting
+    inconsistent structure) when a covered position is non-empty."""
+    from key_resource_table_extractor_spark.extractor.pipeline import (
+        _apply_rowspan_occupancy,
+    )
+
+    grid = [
+        [{"content": "A", "colspan": 1, "rowspan": 2},
+         {"content": "x", "colspan": 1}],
+        [{"content": "B", "colspan": 1},  # conflict: covered pos non-empty
+         {"content": "y", "colspan": 1}],
+    ]
+    out = _apply_rowspan_occupancy([r[:] for r in grid])
+    assert "rowspan" not in out[0][0]
+    assert out[1][0]["content"] == "B"  # covered row untouched
