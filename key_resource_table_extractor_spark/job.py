@@ -325,6 +325,7 @@ def run_extraction(
     excepted_pages: list[int] | None = None,
     row_model: str | None = None,
     gap_min_spaces: int | None = None,
+    output_mode: str = "spans",
 ) -> dict:
     """Run (or resume) the extraction over ``input_df``.
 
@@ -332,6 +333,14 @@ def run_extraction(
     written independently (idempotent overwrite of its directory), then a
     checkpoint row is appended. A killed run re-invoked with the same
     ``run_id`` skips completed buckets.
+
+    ``output_mode``: "spans" (default) writes the flat span table;
+    "nested" / "nested-colspans" write the S7 result-JSON table (one
+    (doc_id, result) row per doc) under the SAME bucket checkpoint
+    discipline — a 10^9-doc nested export is resumable exactly like the
+    flat one. Nested buckets carry no per-batch stats rows, so their
+    checkpoint rows record doc counts and doc_id bounds with zeroed
+    span/table/error tallies.
 
     Per-bucket metrics (the per-batch ``kind='stats'`` rows plus the output
     row count) are collected with ``df.observe()`` DURING the single write
@@ -375,35 +384,52 @@ def run_extraction(
         t0 = time.time()
         bdf = bucketed.filter(F.col("__bucket") == b).drop("__bucket")
         bdf = salted_repartition(bdf, partitions_per_bucket, salt)
-        out = extract(
-            bdf,
-            use_arrow=use_arrow,
-            excepted_lines=excepted_lines,
-            excepted_pages=excepted_pages,
-            row_model=row_model,
-            gap_min_spaces=gap_min_spaces,
-        )
         obs = Observation(f"krt_{run_id}_{b}_{uuid.uuid4().hex[:6]}")
-        out = out.observe(
-            obs,
-            F.sum(_stat("n_docs").cast("long")).alias("n_docs"),
-            F.sum(_stat("n_spans_in").cast("long")).alias("n_spans_in"),
-            F.sum(_stat("n_tables").cast("long")).alias("n_tables"),
-            F.sum(_stat("n_errors").cast("long")).alias("n_errors"),
-            F.min(_stat("doc_id_min")).alias("doc_id_min"),
-            F.max(_stat("doc_id_max")).alias("doc_id_max"),
-            F.sum(
-                F.when(F.col("kind").isin(*DATA_KINDS), 1).otherwise(0)
-            ).alias("n_spans_out"),
-        )
+        if output_mode == "spans":
+            out = extract(
+                bdf,
+                use_arrow=use_arrow,
+                excepted_lines=excepted_lines,
+                excepted_pages=excepted_pages,
+                row_model=row_model,
+                gap_min_spaces=gap_min_spaces,
+            )
+            out = out.observe(
+                obs,
+                F.sum(_stat("n_docs").cast("long")).alias("n_docs"),
+                F.sum(_stat("n_spans_in").cast("long")).alias("n_spans_in"),
+                F.sum(_stat("n_tables").cast("long")).alias("n_tables"),
+                F.sum(_stat("n_errors").cast("long")).alias("n_errors"),
+                F.min(_stat("doc_id_min")).alias("doc_id_min"),
+                F.max(_stat("doc_id_max")).alias("doc_id_max"),
+                F.sum(
+                    F.when(F.col("kind").isin(*DATA_KINDS), 1).otherwise(0)
+                ).alias("n_spans_out"),
+            )
+        else:
+            out = extract_nested(
+                bdf,
+                with_colspans=(output_mode == "nested-colspans"),
+                row_model=row_model,
+                excepted_lines=excepted_lines,
+                excepted_pages=excepted_pages,
+                gap_min_spaces=gap_min_spaces,
+            )
+            out = out.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").alias("doc_id_min"),
+                F.max("doc_id").alias("doc_id_max"),
+                F.count(F.lit(1)).alias("n_spans_out"),
+            )
         bucket_dir = f"{output_path}/bucket={b}"
         out.write.mode("overwrite").parquet(bucket_dir)
         m = obs.get
         cp_row = [(
             run_id, b, m["doc_id_min"], m["doc_id_max"],
-            int(m["n_docs"] or 0), int(m["n_spans_in"] or 0),
-            int(m["n_spans_out"] or 0), int(m["n_tables"] or 0),
-            int(m["n_errors"] or 0),
+            int(m["n_docs"] or 0), int(m.get("n_spans_in") or 0),
+            int(m["n_spans_out"] or 0), int(m.get("n_tables") or 0),
+            int(m.get("n_errors") or 0),
             int((time.time() - t0) * 1000), "done",
         )]
         spark.createDataFrame(
@@ -436,4 +462,6 @@ def read_output(
     df = spark.read.parquet(output_path)
     if buckets is not None:
         df = df.filter(F.col("bucket").isin(*[int(b) for b in buckets]))
+    if "result" in df.columns:  # nested result-JSON output: no kind column
+        return df
     return data_spans(df)

@@ -56,8 +56,8 @@ def main(argv=None):
                    choices=["spans", "nested", "nested-colspans"],
                    help="spans = checkpointed flat span table (default); "
                         "nested / nested-colspans = one result-JSON row per "
-                        "doc (the reference's S7 sink shape), single-pass "
-                        "write without bucket checkpointing")
+                        "doc (the reference's S7 sink shape), under the "
+                        "same bucket checkpoint/resume discipline")
     args = p.parse_args(argv)
 
     def _ints(s):
@@ -74,28 +74,9 @@ def main(argv=None):
             inp = job.synthesize_spans(spark, args.n_docs, seed=args.seed)
         else:
             p.error("one of --input / --n-docs required")
-        if args.output_mode != "spans":
-            t0 = time.time()
-            parts = (
-                args.partitions
-                or spark.sparkContext.defaultParallelism
-            )
-            nested = job.extract_nested(
-                job.salted_repartition(inp, parts, args.salt),
-                with_colspans=(args.output_mode == "nested-colspans"),
-                row_model=args.row_model,
-                excepted_lines=_ints(args.excepted_lines),
-                excepted_pages=_ints(args.excepted_pages),
-                gap_min_spaces=args.gap_min_spaces,
-            )
-            nested.write.mode("overwrite").parquet(args.out)
-            out_rows = spark.read.parquet(args.out).count()
-            print(json.dumps({
-                "output_mode": args.output_mode,
-                "wall_sec": round(time.time() - t0, 2),
-                "output_rows": out_rows,
-            }))
-            return 0
+        # nested modes share the bucket checkpoint/resume discipline with
+        # the flat path (same --buckets / --bucket-subset /
+        # --fail-after-bucket semantics); the summary keeps output_mode
         t0 = time.time()
         summary = job.run_extraction(
             spark, inp, args.out, args.checkpoint, run_id=args.run_id,
@@ -106,10 +87,13 @@ def main(argv=None):
             excepted_pages=_ints(args.excepted_pages),
             row_model=args.row_model,
             gap_min_spaces=args.gap_min_spaces,
+            output_mode=args.output_mode,
         )
         wall = time.time() - t0
         out_rows = job.read_output(spark, args.out).count()
         summary.update({"wall_sec": round(wall, 2), "output_rows": out_rows})
+        if args.output_mode != "spans":
+            summary["output_mode"] = args.output_mode
         print(json.dumps(summary))
     finally:
         spark.stop()

@@ -174,3 +174,38 @@ def test_cli_nested_output_mode(spark, tmp_path):
                     assert all(
                         set(c) >= {"content", "colspan"} for c in cells
                     )
+
+
+def test_nested_mode_checkpoint_resume(spark, tmp_path):
+    """Nested output under the bucket checkpoint: a crashed run resumes,
+    skips committed buckets, and the final table equals a clean
+    single-run export doc-for-doc."""
+    from key_resource_table_extractor_spark import job
+
+    inp = job.synthesize_spans(spark, 120, seed=42)
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    try:
+        job.run_extraction(
+            spark, inp, out, cp, run_id="nres", n_buckets=4,
+            fail_after_bucket=1, output_mode="nested-colspans",
+        )
+        raise AssertionError("injected failure did not raise")
+    except RuntimeError:
+        pass
+    summary = job.run_extraction(
+        spark, inp, out, cp, run_id="nres", n_buckets=4,
+        output_mode="nested-colspans",
+    )
+    assert summary["buckets_skipped"] == 2
+    assert summary["buckets_run"] == 2
+    got = {
+        r["doc_id"]: r["result"]
+        for r in job.read_output(spark, out).collect()
+    }
+    clean = {
+        r["doc_id"]: r["result"]
+        for r in job.extract_nested(inp, with_colspans=True).collect()
+    }
+    # docs with no detected tables emit no nested row on either path
+    assert got == clean and len(got) > 0
