@@ -125,29 +125,32 @@ DEMOTED = [
     # exact-quantile evidence duplicated by median_stats_by_lang
     # (same percentile machinery over the same events table)
     "event_value_quantiles",
+    # theta-join evidence duplicated by similarity_match_join (same
+    # machinery, best-per-left vs one-to-one variant)
+    "similarity_match_join_1to1",
 ]
-# rows-only trios rotated INTO the window (one trio per round) and the
-# redundant-D trios rotated OUT to make room. Pairings are by evidence
+# rows-only groups rotated INTO the window (one group per round) and the
+# redundant-D groups rotated OUT to make room (sizes pair up, keeping
+# the window at exactly DRIVER_GATE_WINDOW). Pairings are by evidence
 # redundancy: each rotated-out D query has an in-window sibling that
-# keeps its plan shape driver-covered that round.
+# keeps its plan shape driver-covered that round. ann_lsh_topk left this
+# list when it gained a full DuckDB oracle (seeded-literal buckets).
 ROWS_ONLY_ROTATION = [
     ["minhash_lsh_pairs", "simhash_near_dups", "ann_pq_topk"],
-    ["ann_lsh_topk", "ann_ivf_topk", "semantic_dedup"],
-    ["sketch_distinct_users", "sketch_value_percentiles",
-     "bpe_train_stats"],
+    ["ann_ivf_topk", "semantic_dedup", "sketch_distinct_users"],
+    ["sketch_value_percentiles", "bpe_train_stats"],
 ]
 D_ROTATION = [
-    # siblings: similarity_match_join (same theta-join machinery),
-    # top_revenue_nations (same join-agg tree), media_metadata
-    # (same multimodal scan/plumbing)
-    ["similarity_match_join_1to1", "supplier_balance_by_nation",
-     "media_resize"],
+    # siblings: top_revenue_nations (same join-agg tree), media_metadata
+    # (same multimodal scan/plumbing), stratified/mixture (sampling)
+    ["supplier_balance_by_nation", "media_resize",
+     "deterministic_sample"],
     # siblings: deterministic_sample + domain_mixture_sample (sampling
     # family), prev_event_transitions (lag/lead window), media_metadata
     ["stratified_sample", "adjacent_line_pairs", "media_embed"],
     # siblings: seq_ids_global (window-rank machinery), interval_union_
-    # islands (grouped agg over orders), media_metadata
-    ["rank_topk_parts", "rollup_order_counts", "media_frame_sample"],
+    # islands (grouped agg over orders)
+    ["rank_topk_parts", "rollup_order_counts"],
 ]
 
 

@@ -179,6 +179,63 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann_lsh_topk(load(spark, sf_dir, "embeddings"))
 
 
+def _sql_ann_lsh_topk() -> str:
+    """DuckDB twin of ``ann_lsh_topk``. Unlike the minhash/IVF/PQ family
+    (whose bucketing rides on Spark's xxhash64), the LSH buckets are pure
+    arithmetic on SEEDED numpy hyperplanes — embeddable as SQL literals —
+    so this ANN op is fully D-oracleable: same sign-bit buckets, same
+    hamming<=2 multi-probe masks, same cosine re-rank. The only
+    engine-shared float risk is a dot product exactly at 0 (sign flip
+    between summation orders), vanishingly unlikely on the fixtures."""
+    import itertools
+
+    planes = _hyperplanes(64)
+
+    def arr(p):
+        return "[" + ", ".join(repr(float(v)) for v in p) + "]"
+
+    plane_terms = "\n         + ".join(
+        f"(CASE WHEN list_dot_product(e, {arr(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    masks = [0]
+    for h in range(1, PROBE_HAMMING + 1):
+        for comb in itertools.combinations(range(N_PLANES), h):
+            m = 0
+            for p in comb:
+                m |= 1 << p
+            masks.append(m)
+    mask_values = ", ".join(f"({m})" for m in masks)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         {plane_terms} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, e AS qe, bucket AS qb FROM b WHERE vec_id < 10
+), probes AS (
+  SELECT query_id, qe, xor(qb, m.mask) AS bucket
+  FROM q CROSS JOIN (VALUES {mask_values}) m(mask)
+), scored AS (
+  SELECT DISTINCT query_id, cand_id, cos FROM (
+    SELECT p.query_id, c.vec_id AS cand_id,
+           list_cosine_similarity(p.qe, c.e) AS cos
+    FROM probes p JOIN b c USING (bucket)
+    WHERE p.query_id != c.vec_id)
+), ranked AS (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, cand_id) AS rk
+  FROM scored)
+SELECT query_id, rk, cand_id, round(cos, 4) AS cos
+FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+"""
+
+
+SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
+
+
 # --------------------------------------------------------------------------
 # IVF-bucketed ANN (second scale path; Spark-only)
 # --------------------------------------------------------------------------
@@ -925,8 +982,11 @@ QUERIES = {
 
 ORACLE = {
     "cosine_topk": SQL_COSINE_TOPK,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
-    # ann_lsh_topk / ann_ivf_topk / semantic_dedup: bucketing and the coarse
-    # quantizer are engine-specific — rows-only check; semantic oracles
-    # (recall-vs-brute-force, planted-duplicate) in tests/test_similarity.py
+    # ann_ivf_topk / ann_pq_topk / semantic_dedup: the coarse quantizer
+    # and codebooks ride on Spark's xxhash64 — engine-specific, so
+    # rows-only check; semantic oracles (recall-vs-brute-force,
+    # planted-duplicate) in tests/test_similarity.py. ann_lsh_topk's
+    # buckets are seeded-literal arithmetic, hence fully oracled above.
 }

@@ -118,17 +118,22 @@ def test_gate_window_covers_flagship_and_all_oracled(entry_mod):
     # every rotated/demoted-out name is D-oracled ⇒ local gate still
     # value-checks it the round it is dark
     assert out_this_round <= oracled
-    # rotation tables are well-formed: disjoint trios covering all nine
-    # rows-only registry ops, no overlap with the permanent demotions
+    # rotation tables are well-formed: disjoint groups covering every
+    # rows-only registry op, paired sizes (the window stays exactly
+    # DRIVER_GATE_WINDOW), no overlap with the permanent demotions
     ro_all = [q for t in entry_mod.ROWS_ONLY_ROTATION for q in t]
     d_all = [q for t in entry_mod.D_ROTATION for q in t]
-    assert len(ro_all) == len(set(ro_all)) == 9
-    assert len(d_all) == len(set(d_all)) == 9
+    assert len(ro_all) == len(set(ro_all))
+    assert len(d_all) == len(set(d_all))
+    for ro_t, d_t in zip(entry_mod.ROWS_ONLY_ROTATION,
+                         entry_mod.D_ROTATION):
+        assert len(ro_t) == len(d_t)
     assert not set(d_all) & set(entry_mod.DEMOTED)
     assert set(ro_all) == set(names) - oracled - {
         "extract_spans", "extract_nested", "extract_nested_colspans",
         "extract_spans_anchor",
     }
+    assert len(names[: entry_mod.DRIVER_GATE_WINDOW]) == 50
 
 
 def test_repetition_stats_exact_across_partitionings(spark, duck):
