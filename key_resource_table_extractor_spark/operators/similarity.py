@@ -283,6 +283,8 @@ def _unit_centroid_matrix(cents) -> "np.ndarray":
     """(nlist, dim) float64 matrix of unit-normalized centroids; dot
     against it orders by cosine (row norms are per-row positive
     constants)."""
+    if not cents:
+        return np.zeros((0, 0), dtype=np.float64)
     arr = np.asarray([c for _cid, c in cents], dtype=np.float64)
     nrm = np.linalg.norm(arr, axis=1)
     nrm[nrm == 0.0] = 1.0
@@ -307,11 +309,12 @@ def ivf_assign_arrow(emb: DataFrame, cents,
 
         for rb in batches:
             ids, X = _pq_batch_arrays(rb)
-            cid = (
-                np.argmax(U @ X.T, axis=0).astype(np.int32)
-                if len(ids)
-                else np.empty(0, dtype=np.int32)
-            )
+            if not len(ids):
+                cid = np.empty(0, dtype=np.int32)
+            elif U.size == 0:  # no centroids (empty corpus sample)
+                cid = np.full(len(ids), -1, dtype=np.int32)
+            else:
+                cid = np.argmax(U @ X.T, axis=0).astype(np.int32)
             yield pa.RecordBatch.from_arrays(
                 [
                     rb.column(rb.schema.get_field_index("vec_id")),
@@ -344,7 +347,9 @@ def ivf_refined_centroids(
     aggregate rows, the only thing reaching the driver. Empty lists keep
     their previous centroid (standard k-means convention)."""
     cents = ivf_centroids(emb, nlist)
-    dim = len(cents[0][1]) if cents else 0
+    if not cents:
+        return cents
+    dim = len(cents[0][1])
     for _ in range(iterations):
         U = _unit_centroid_matrix(cents)
 
