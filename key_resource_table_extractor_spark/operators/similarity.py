@@ -32,6 +32,23 @@ from .common import load
 N_PLANES = 4
 PROBE_HAMMING = 2
 PLANES_SEED = 7
+LSH_TARGET_BUCKET = 125  # expected vectors per bucket the derivation aims at
+
+
+def derived_lsh_planes(n: int) -> int:
+    """Corpus-derived plane count: p ≈ log2(n / target-bucket-size), so
+    expected bucket occupancy n/2^p stays ~constant as the corpus grows
+    (at 10^9 vectors: ~23 planes) instead of the fixture's 16 buckets
+    swallowing 60M vectors each. Floored at the fixture constant — the
+    driver-gate query keeps N_PLANES so its STATIC SQL oracle (plane
+    literals baked into the string) stays valid at the gate's fixed
+    corpus; recall with derived planes is pinned separately in
+    tests/test_similarity.py."""
+    import math
+
+    if n <= LSH_TARGET_BUCKET:
+        return N_PLANES
+    return max(N_PLANES, int(round(math.log2(n / LSH_TARGET_BUCKET))))
 
 
 def _dot(a, b):
@@ -112,9 +129,9 @@ FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
 # LSH-bucketed ANN (scale path; Spark-only)
 # --------------------------------------------------------------------------
 
-def _hyperplanes(dim: int) -> np.ndarray:
+def _hyperplanes(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
     rng = np.random.RandomState(PLANES_SEED)
-    return rng.standard_normal((N_PLANES, dim)).astype(float)
+    return rng.standard_normal((n_planes, dim)).astype(float)
 
 
 def lsh_bucket_expr(vec_col, planes: np.ndarray):
@@ -128,11 +145,12 @@ def lsh_bucket_expr(vec_col, planes: np.ndarray):
 
 
 def ann_lsh_topk(
-    emb: DataFrame, n_queries: int = 10, k: int = 5, dim: int = 64
+    emb: DataFrame, n_queries: int = 10, k: int = 5, dim: int = 64,
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     from pyspark.sql import Window
 
-    planes = _hyperplanes(dim)
+    planes = _hyperplanes(dim, n_planes)
     with_bucket = emb.withColumn(
         "bucket", lsh_bucket_expr(F.col("embedding"), planes)
     )
@@ -146,7 +164,7 @@ def ann_lsh_topk(
 
     probe_cols = [F.col("qb")]
     for h in range(1, PROBE_HAMMING + 1):
-        for comb in itertools.combinations(range(N_PLANES), h):
+        for comb in itertools.combinations(range(n_planes), h):
             mask = 0
             for p in comb:
                 mask |= 1 << p

@@ -458,3 +458,45 @@ def test_clustered_corpus_allows_narrow_probe(spark):
         len(gold[q] & got.get(q, set())) / len(gold[q]) for q in gold
     ]
     assert sum(recalls) / len(recalls) >= 0.8, (nlist, narrow, recalls)
+
+
+def test_derived_lsh_planes_keep_bucket_occupancy(spark):
+    """Scale shape of the LSH derivation: plane count grows with the
+    corpus so expected bucket occupancy stays near the target (the
+    fixture floor would swallow 60M vectors per bucket at 10^9), and
+    recall on a clustered corpus holds with the derived plane count."""
+    import numpy as np
+
+    assert similarity.derived_lsh_planes(500) == similarity.N_PLANES
+    assert similarity.derived_lsh_planes(2000) == similarity.N_PLANES
+    p9 = similarity.derived_lsh_planes(10**9)
+    assert 20 <= p9 <= 26
+    occupancy = 10**9 / (1 << p9)
+    assert 30 <= occupancy <= 500  # near LSH_TARGET_BUCKET, not 60M
+    # recall with a derived (larger) plane count on a clustered corpus
+    rng = np.random.RandomState(4)
+    n_clusters, per, dim = 16, 250, 32  # n=4000 → 5 planes
+    centers = rng.standard_normal((n_clusters, dim)) * 5.0
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for p in centers[c] + rng.standard_normal((per, dim)) * 0.3:
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n_planes = similarity.derived_lsh_planes(len(rows))
+    assert n_planes > similarity.N_PLANES
+    k = 5
+    brute = similarity.cosine_topk(emb, n_queries=10, k=k).collect()
+    gold = {}
+    for r in brute:
+        gold.setdefault(r["query_id"], set()).add(r["cand_id"])
+    got = {}
+    for r in similarity.ann_lsh_topk(
+        emb, n_queries=10, k=k, dim=dim, n_planes=n_planes
+    ).collect():
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+    recalls = [
+        len(gold[q] & got.get(q, set())) / len(gold[q]) for q in gold
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, (n_planes, recalls)
