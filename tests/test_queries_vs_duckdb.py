@@ -33,6 +33,7 @@ FAST_SUBSET = [
     "dedupe_prefix_fingerprint",
     "ngram_jaccard_pairs",
     "cosine_topk",
+    "ann_lsh_topk",
     "media_metadata",
     "boilerplate_removal",
     "pii_redaction_stats",
