@@ -33,6 +33,15 @@ QUERIES = [
     "media_metadata",
     "media_resize",
     "media_embed",
+    "media_frame_sample",
+    "subword_token_stats",
+    "lang_guess_confusion",
+    "vocab_top_ngrams",
+    "curated_corpus",
+    "chunk_documents",
+    "sequence_packing",
+    "boilerplate_removal",
+    "curation_pipeline",
 ]
 
 NONASCII_DOCS = [
