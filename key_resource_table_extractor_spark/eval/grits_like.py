@@ -147,14 +147,16 @@ def grits_both(pred_rows: list[list], gold_rows: list[list]):
 # substructure into order-preserving 1D alignments over rows and columns)
 # --------------------------------------------------------------------------
 
-def _align_pairs(items_a, items_b, sim_fn):
-    """Order-preserving alignment maximizing total pairwise similarity;
-    returns the matched (i, j) index pairs. Pointers are recorded in the
+def _align_matrix(reward) -> tuple[list, float]:
+    """Order-preserving alignment over a pre-computed (na, nb) reward
+    matrix; returns (pairs, total score). Pointers are recorded in the
     forward pass with the published tie-breaking order — diagonal first,
     then skip-a, then skip-b (GriTS reference grits.py:99-117,146-161) —
     so alignments are deterministic and bit-comparable against an
-    independent implementation of the same algorithm."""
-    na, nb = len(items_a), len(items_b)
+    independent implementation of the same algorithm. Rewards are taken
+    from a matrix rather than a callback so each (expensive) cell
+    similarity is computed exactly once per factored scoring."""
+    na, nb = len(reward), len(reward[0]) if len(reward) else 0
     dp = [[0.0] * (nb + 1) for _ in range(na + 1)]
     ptr = [[0] * (nb + 1) for _ in range(na + 1)]
     for i in range(1, na + 1):
@@ -162,8 +164,9 @@ def _align_pairs(items_a, items_b, sim_fn):
     for j in range(1, nb + 1):
         ptr[0][j] = 1
     for i in range(1, na + 1):
+        row = reward[i - 1]
         for j in range(1, nb + 1):
-            match = dp[i - 1][j - 1] + sim_fn(items_a[i - 1], items_b[j - 1])
+            match = dp[i - 1][j - 1] + row[j - 1]
             skip_a = dp[i - 1][j]
             skip_b = dp[i][j - 1]
             best = max(match, skip_a, skip_b)
@@ -187,27 +190,21 @@ def _align_pairs(items_a, items_b, sim_fn):
             j -= 1
             pairs.append((i, j))
     pairs.reverse()
-    return pairs
+    return pairs, dp[na][nb]
 
 
-def _align_gain(items_a, items_b, sim_fn) -> float:
-    """Total gain of the best order-preserving alignment (DP value only)."""
-    na, nb = len(items_a), len(items_b)
+def _gain_matrix(reward) -> float:
+    """DP total only, over a pre-computed reward matrix."""
+    na = len(reward)
+    nb = len(reward[0]) if na else 0
     dp = [[0.0] * (nb + 1) for _ in range(na + 1)]
     for i in range(1, na + 1):
+        row = reward[i - 1]
         for j in range(1, nb + 1):
-            match = dp[i - 1][j - 1] + sim_fn(items_a[i - 1], items_b[j - 1])
-            dp[i][j] = max(dp[i - 1][j], dp[i][j - 1], match)
+            dp[i][j] = max(
+                dp[i - 1][j - 1] + row[j - 1], dp[i - 1][j], dp[i][j - 1]
+            )
     return dp[na][nb]
-
-
-def _free_inner_sim(seq_a, seq_b) -> float:
-    """Similarity of two cell sequences under a FREE inner 1D alignment
-    (the reference's align_2d_outer row reward, grits.py:129-146): each
-    outer pair may pick its own inner alignment, inconsistent across pairs
-    — which is exactly why the resulting score upper-bounds the consistent
-    factored score."""
-    return _align_gain(seq_a, seq_b, _sim_or_pad)
 
 
 def _grid_of(rows) -> list[list[str]]:
@@ -273,24 +270,62 @@ def grits_factored(pred_rows: list[list], gold_rows: list[list]):
     gp, gg = _grid_of(pred_rows), _grid_of(gold_rows)
     if not gp or not gg or not gp[0] or not gg[0]:
         return (0.0, 0.0, 0.0, 0.0)
-    cols_p = list(zip(*gp))
-    cols_g = list(zip(*gg))
+    ng, ncg = len(gg), len(gg[0])
+    npr, ncp = len(gp), len(gp[0])
+    # memoized pairwise cell rewards (the reference's pre_computed_rewards,
+    # grits.py:180-190): every (gold-cell, pred-cell) LCS similarity is
+    # computed exactly once — the SequenceMatcher is the dominant eval
+    # cost and the old callback form re-ran it once per stage. A content
+    # cache folds the (very common) repeated "" / identical-text pairs.
+    sim_cache: dict = {}
+
+    def _sim(a, b) -> float:
+        key = (
+            a if isinstance(a, str) or a is None else _cell_content(a),
+            b if isinstance(b, str) or b is None else _cell_content(b),
+        )
+        v = sim_cache.get(key)
+        if v is None:
+            v = _sim_or_pad(a, b)
+            sim_cache[key] = v
+        return v
+
+    R = [
+        [
+            [[_sim(gg[i][j], gp[k][l]) for l in range(ncp)]
+             for k in range(npr)]
+            for j in range(ncg)
+        ]
+        for i in range(ng)
+    ]
     # both stages use the FREE inner 1D alignment as the pairwise reward
     # and align independently (rows on the grids, columns on the
     # transposed grids), exactly as published (reference grits.py:166-213:
     # align_2d_outer over rows, then over the transpose); gold is the
     # first sequence so skip-gold wins ties over skip-pred, matching the
     # reference's pointer convention
-    row_pairs = [
-        (p, g) for g, p in _align_pairs(gg, gp, _free_inner_sim)
+    row_reward = [
+        [
+            _gain_matrix([[R[i][j][k][l] for l in range(ncp)]
+                          for j in range(ncg)])
+            for k in range(npr)
+        ]
+        for i in range(ng)
     ]
-    col_pairs = [
-        (p, g) for g, p in _align_pairs(cols_g, cols_p, _free_inner_sim)
+    col_reward = [
+        [
+            _gain_matrix([[R[i][j][k][l] for k in range(npr)]
+                          for i in range(ng)])
+            for l in range(ncp)
+        ]
+        for j in range(ncg)
     ]
+    row_pairs, row_gain = _align_matrix(row_reward)   # (gold_i, pred_k)
+    col_pairs, col_gain = _align_matrix(col_reward)   # (gold_j, pred_l)
     gained = sum(
-        _sim_or_pad(gp[i][c], gg[j][d])
-        for i, j in row_pairs
-        for c, d in col_pairs
+        R[i][j][k][l]
+        for i, k in row_pairs
+        for j, l in col_pairs
     )
     # mass = real (non-padding) grid positions, matching the expanded gain
     pred_mass = sum(1 for r in gp for c in r if c is not None) or 1
@@ -302,7 +337,5 @@ def grits_factored(pred_rows: list[list], gold_rows: list[list]):
         return (p, r, 2 * p * r / (p + r) if p + r else 0.0)
 
     precision, recall, f1 = _fscore(gained)
-    row_gain = _align_gain(gp, gg, _free_inner_sim)
-    col_gain = _align_gain(cols_p, cols_g, _free_inner_sim)
     upper_bound = _fscore(min(row_gain, col_gain))[2]
     return (precision, recall, f1, upper_bound)

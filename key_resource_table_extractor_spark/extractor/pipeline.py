@@ -403,19 +403,6 @@ def _extract_doc_regions(
             merge = np.zeros(len(rows), dtype=bool)
         gid = np.cumsum(~merge) - 1
         ngroups = gid[-1] + 1
-        grp_rowspan = None
-        if with_extents:
-            grp_rowspan = np.ones(ngroups, dtype=np.int64)
-            if cont_full is not None and cont_full.any():
-                covered = np.zeros(ngroups, dtype=bool)
-                covered[gid[cont_full]] = True  # groups a covered row starts
-                run = 0
-                for g in range(ngroups - 1, -1, -1):
-                    if covered[g]:
-                        run += 1
-                    else:
-                        grp_rowspan[g] = 1 + run
-                        run = 0
         folded = np.full((ngroups, ncols), "", dtype=object)
         if with_extents:
             folded_f = np.tile(np.arange(ncols, dtype=np.int64), (ngroups, 1))
@@ -454,6 +441,28 @@ def _extract_doc_regions(
         grp_has_multi = np.bincount(gid, weights=src_multi, minlength=ngroups) > 0
         grp_nonempty = (folded != "").sum(axis=1)
         grp_fullspan = (~grp_has_multi) & (grp_nonempty == 1)
+        grp_rowspan = None
+        if with_extents:
+            # col-0 rowspan carriage: a run of covered rows extends the
+            # group ABOVE it — but only a plain DATA row may carry the
+            # claim. A header group or a full-width divider preceding an
+            # anchor-less full row is not evidence of a spanning cell
+            # (the reference derives rowspans from spanning-cell boxes
+            # over DATA row boxes, table_model.py:239-264); cancelling
+            # there falls back to the flat documented-deviation shape.
+            grp_rowspan = np.ones(ngroups, dtype=np.int64)
+            if cont_full is not None and cont_full.any():
+                covered = np.zeros(ngroups, dtype=bool)
+                covered[gid[cont_full]] = True  # groups a covered row starts
+                grp_is_hdr = hdr[first_of_group]
+                run = 0
+                for g in range(ngroups - 1, -1, -1):
+                    if covered[g]:
+                        run += 1
+                    else:
+                        if not grp_is_hdr[g] and not grp_fullspan[g]:
+                            grp_rowspan[g] = 1 + run
+                        run = 0
         # boundary media (emitted once, offset order)
         lo_off = int(line_off[lo_i]) - spec.MEDIA_BOUNDARY_SLACK
         hi_off = int(line_off[hi_i]) + spec.MEDIA_BOUNDARY_SLACK

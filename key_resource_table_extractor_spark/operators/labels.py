@@ -68,8 +68,16 @@ def pair_annotated_files(
     ``<stem>_annot<ext>`` labeled file pairs with the ``<stem><ext>``
     instance file. Returns ``(labeled_file, instance_file)`` via an
     equi-join on the stripped name — broadcastable when the annotated
-    set is small (it always is: it is human-made)."""
-    stripped = F.regexp_replace("file", suffix, "")
+    set is small (it always is: it is human-made). Only the TERMINAL
+    suffix before the extension is stripped (a stem that happens to
+    contain the suffix elsewhere, e.g. ``paper_annotations_annot.json``,
+    keeps its inner occurrence), and the suffix is treated as a literal,
+    not a regex."""
+    import re
+
+    stripped = F.regexp_replace(
+        "file", re.escape(suffix) + r"(?=\.[^.]*$)", ""
+    )
     lf = labeled_files.select(
         F.col("file").alias("labeled_file"), stripped.alias("__stem")
     )

@@ -309,8 +309,7 @@ def _unit_centroid_matrix(cents) -> "np.ndarray":
     return arr / nrm[:, None]
 
 
-def ivf_assign_arrow(emb: DataFrame, cents,
-                     id_col: str = "vec_id") -> DataFrame:
+def ivf_assign_arrow(emb: DataFrame, cents) -> DataFrame:
     """(id, embedding, cid) via ONE numpy ``mapInArrow`` stage — the
     centroid matrix rides in the kernel closure, so the plan carries no
     literal trees. The expression scorer (``ivf_assign_expr``) is kept
@@ -332,14 +331,22 @@ def ivf_assign_arrow(emb: DataFrame, cents,
             elif U.size == 0:  # no centroids (empty corpus sample)
                 cid = np.full(len(ids), -1, dtype=np.int32)
             else:
-                cid = np.argmax(U @ X.T, axis=0).astype(np.int32)
+                # tie-break matches the expression oracle: array_max on
+                # (score, cid) structs takes the HIGHEST cid among equal
+                # scores (ties are real when duplicate vectors land in
+                # the seeded centroid sample — routine for dedup
+                # corpora), while plain argmax would take the lowest
+                s = U @ X.T
+                cid = (
+                    len(U) - 1 - np.argmax(s[::-1], axis=0)
+                ).astype(np.int32)
             yield pa.RecordBatch.from_arrays(
                 [
                     rb.column(rb.schema.get_field_index("vec_id")),
                     rb.column(rb.schema.get_field_index("embedding")),
                     pa.array(cid, type=pa.int32()),
                 ],
-                names=[id_col, "embedding", "cid"],
+                names=["vec_id", "embedding", "cid"],
             )
 
     # passthrough columns keep their INPUT arrow types — declare them
@@ -347,7 +354,7 @@ def ivf_assign_arrow(emb: DataFrame, cents,
     # array<double> fails at the JVM ArrowColumnVector accessor)
     emb_t = emb.schema["embedding"].dataType.simpleString()
     return emb.select("vec_id", "embedding").mapInArrow(
-        fn, f"{id_col} bigint, embedding {emb_t}, cid int"
+        fn, f"vec_id bigint, embedding {emb_t}, cid int"
     )
 
 
@@ -380,7 +387,9 @@ def ivf_refined_centroids(
                 ids, X = _pq_batch_arrays(rb)
                 if not len(ids):
                     continue
-                cid = np.argmax(U @ X.T, axis=0)
+                s = U @ X.T
+                # same highest-cid tie-break as ivf_assign_arrow
+                cid = len(U) - 1 - np.argmax(s[::-1], axis=0)
                 np.add.at(sums, cid, X)
                 cnts += np.bincount(cid, minlength=len(U))
             yield pa.RecordBatch.from_arrays(
@@ -459,15 +468,6 @@ def _centroid_scores(vec_col, cents) -> "F.Column":
 def ivf_assign_expr(vec_col, cents):
     """Nearest-centroid id (struct array_max orders by first field)."""
     return F.array_max(_centroid_scores(vec_col, cents))["cid"]
-
-
-def ivf_probe_expr(vec_col, cents, nprobe: int):
-    """Top-nprobe centroid ids, nearest first."""
-    return F.transform(
-        F.slice(F.reverse(F.array_sort(_centroid_scores(vec_col, cents))),
-                1, nprobe),
-        lambda s: s["cid"],
-    )
 
 
 def ann_ivf_topk(

@@ -353,3 +353,34 @@ def test_rowspan_cancelled_on_conflicting_occupancy():
     out = _apply_rowspan_occupancy([r[:] for r in grid])
     assert "rowspan" not in out[0][0]
     assert out[1][0]["content"] == "B"  # covered row untouched
+
+
+def test_rowspan_never_carried_by_header_or_divider():
+    """A covered run whose preceding group is the HEADER (or a full-width
+    divider) is not spanning-cell evidence: the rows stay separate and no
+    rowspan is asserted (reference derives rowspans from spanning-cell
+    boxes over DATA rows only, table_model.py:239-264)."""
+    doc = [
+        ("text", "Key Resources Table", "", 0),
+        ("text", "REAGENT and RESOURCE   SOURCE        IDENTIFIER", "", 1),
+        # first data line is anchor-less but FULL (>=2 non-empty cells):
+        # the only group above it is the header
+        ("text", "                       anti-X mouse  RRID:AB_11111", "", 2),
+        ("text", "Bar protein            Sigma         RRID:SCR_00442", "", 3),
+    ]
+    pdf = pd.DataFrame(
+        [("d0", [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for (k, t, m, o) in doc
+        ])],
+        columns=["doc_id", "spans"],
+    )
+    rows = _nested_rows(
+        extract_nested_batch(pdf, row_model="anchor", with_colspans=True)
+    )
+    assert not any("rowspan" in c for r in rows for c in r), rows
+    # the anchor-less full row still stands alone (not folded)
+    assert any(
+        r[1]["content"] == "anti-X mouse" and r[0]["content"] == ""
+        for r in rows if len(r) == 3
+    ), rows

@@ -80,3 +80,20 @@ def test_pair_annotated_files(spark):
     )
     assert pairs == [("t1_annot.json", "t1.json"),
                      ("t2_annot.json", "t2.json")]
+
+
+def test_pairing_strips_only_terminal_suffix(spark):
+    """A stem containing the suffix elsewhere keeps its inner occurrence;
+    only the terminal _annot before the extension is stripped."""
+    lf = spark.createDataFrame(
+        [("paper_annotations_annot.json",)], "file string"
+    )
+    inf = spark.createDataFrame(
+        [("paper_annotations.json",), ("paper_ations.json",)], "file string"
+    )
+    pairs = [
+        (r["labeled_file"], r["instance_file"])
+        for r in pair_annotated_files(lf, inf).collect()
+    ]
+    assert pairs == [("paper_annotations_annot.json",
+                      "paper_annotations.json")]
