@@ -500,3 +500,35 @@ def test_derived_lsh_planes_keep_bucket_occupancy(spark):
         len(gold[q] & got.get(q, set())) / len(gold[q]) for q in gold
     ]
     assert sum(recalls) / len(recalls) >= 0.8, (n_planes, recalls)
+
+
+def test_ivf_assignment_tie_break_with_duplicate_centroids(spark):
+    """Duplicate vectors in the seeded centroid sample produce exact
+    score ties; the Arrow kernel must break them exactly like the
+    expression oracle (struct array_max → highest cid), or the
+    cross-check — and cross-partitioning determinism — goes flaky."""
+    rows = []
+    base = [1.0, 0.0, 0.0, 0.0]
+    for vid in range(40):
+        # every vector identical → every centroid identical → all ties
+        rows.append((vid, base))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_centroids(emb, 6)
+    a_expr = sorted(
+        (r["vec_id"], r["cid"])
+        for r in emb.select(
+            "vec_id",
+            similarity.ivf_assign_expr(
+                similarity.F.col("embedding"), cents
+            ).alias("cid"),
+        ).collect()
+    )
+    a_arrow = sorted(
+        (r["vec_id"], r["cid"])
+        for r in similarity.ivf_assign_arrow(emb, cents)
+        .select("vec_id", "cid")
+        .collect()
+    )
+    assert a_arrow == a_expr
+    # all ties → everyone lands in the HIGHEST cid
+    assert {cid for _v, cid in a_arrow} == {len(cents) - 1}
