@@ -465,3 +465,76 @@ def read_output(
     if "result" in df.columns:  # nested result-JSON output: no kind column
         return df
     return data_spans(df)
+
+
+def compact_bucket(
+    spark: SparkSession,
+    output_path: str,
+    bucket: int,
+    target_bytes: int = 256 << 20,
+) -> dict:
+    """Rewrite one committed bucket directory into ~``target_bytes``
+    parquet files (the standard small-files compaction a bucketed,
+    many-executor writer needs at warehouse scale: K buckets × P
+    partitions per run leaves K·P files; downstream scans want
+    128-512 MB objects). The rewrite is idempotent and bucket-local —
+    it can run concurrently with other buckets' compactions and never
+    touches the checkpoint table (compaction is not a lineage event).
+
+    Swap discipline: write to a sibling staging dir, then delete the
+    original and rename — the same commit-by-directory-move convention
+    the bucket writer itself relies on. A crash between delete and
+    rename loses no data (the staging dir holds the full copy) and a
+    re-run of ``compact_bucket`` is a no-op-sized rewrite.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    bucket_dir = f"{output_path}/bucket={bucket}"
+    path = jvm.org.apache.hadoop.fs.Path(bucket_dir)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        raise FileNotFoundError(bucket_dir)
+    summary = fs.getContentSummary(path)
+    total = int(summary.getLength())
+    n_before = sum(
+        1 for f in fs.listStatus(path)
+        if f.getPath().getName().endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_bytes))
+    df = spark.read.parquet(bucket_dir)
+    staging = jvm.org.apache.hadoop.fs.Path(bucket_dir + ".compacting")
+    df.repartition(n_files).write.mode("overwrite").parquet(str(staging))
+    fs.delete(path, True)
+    fs.rename(staging, path)
+    return {
+        "bucket": bucket,
+        "bytes": total,
+        "files_before": n_before,
+        "files_after": n_files,
+    }
+
+
+def compact_output(
+    spark: SparkSession,
+    output_path: str,
+    target_bytes: int = 256 << 20,
+    buckets: list[int] | None = None,
+) -> list[dict]:
+    """Compact every (or the given) bucket directory under
+    ``output_path``. Buckets are independent — an orchestrator can shard
+    this loop exactly like the extraction buckets themselves."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(output_path)
+    fs = root.getFileSystem(conf)
+    if buckets is None:
+        buckets = sorted(
+            int(f.getPath().getName().split("=", 1)[1])
+            for f in fs.listStatus(root)
+            if f.isDirectory()
+            and f.getPath().getName().startswith("bucket=")
+        )
+    return [
+        compact_bucket(spark, output_path, b, target_bytes)
+        for b in buckets
+    ]

@@ -58,6 +58,9 @@ def main(argv=None):
                         "nested / nested-colspans = one result-JSON row per "
                         "doc (the reference's S7 sink shape), under the "
                         "same bucket checkpoint/resume discipline")
+    p.add_argument("--compact-target-mb", type=int, default=0,
+                   help="after the run, rewrite each bucket directory "
+                        "into ~N MB parquet files (0 = off)")
     args = p.parse_args(argv)
 
     def _ints(s):
@@ -90,6 +93,12 @@ def main(argv=None):
             output_mode=args.output_mode,
         )
         wall = time.time() - t0
+        if args.compact_target_mb:
+            stats = job.compact_output(
+                spark, args.out,
+                target_bytes=args.compact_target_mb << 20,
+            )
+            summary["compacted_files"] = sum(s["files_after"] for s in stats)
         out_rows = job.read_output(spark, args.out).count()
         summary.update({"wall_sec": round(wall, 2), "output_rows": out_rows})
         if args.output_mode != "spans":

@@ -209,3 +209,42 @@ def test_nested_mode_checkpoint_resume(spark, tmp_path):
     }
     # docs with no detected tables emit no nested row on either path
     assert got == clean and len(got) > 0
+
+
+def test_compaction_preserves_rows_and_shrinks_files(spark, tmp_path):
+    """compact_output rewrites each bucket into ~target-size files with
+    byte-identical row content (spans survive exactly) and the output
+    stays readable through read_output with partition pruning intact."""
+    import os
+
+    from key_resource_table_extractor_spark import job
+
+    inp = job.synthesize_spans(spark, 200, seed=42)
+    out = str(tmp_path / "out")
+    job.run_extraction(
+        spark, inp, out, str(tmp_path / "cp"), run_id="cpk", n_buckets=3,
+        partitions_per_bucket=8,
+    )
+    before = sorted(
+        tuple(r) for r in job.read_output(spark, out).collect()
+    )
+    n_parquet_before = sum(
+        1 for b in os.listdir(out) if b.startswith("bucket=")
+        for f in os.listdir(os.path.join(out, b)) if f.endswith(".parquet")
+    )
+    stats = job.compact_output(spark, out, target_bytes=256 << 20)
+    assert [s["bucket"] for s in stats] == [0, 1, 2]
+    after = sorted(
+        tuple(r) for r in job.read_output(spark, out).collect()
+    )
+    assert after == before
+    n_parquet_after = sum(
+        1 for b in os.listdir(out) if b.startswith("bucket=")
+        for f in os.listdir(os.path.join(out, b)) if f.endswith(".parquet")
+    )
+    assert n_parquet_after == 3 < n_parquet_before  # tiny corpus → 1/bucket
+    # idempotent: a second pass keeps the same file count and rows
+    job.compact_output(spark, out)
+    assert sorted(
+        tuple(r) for r in job.read_output(spark, out).collect()
+    ) == before
