@@ -538,3 +538,60 @@ def compact_output(
         compact_bucket(spark, output_path, b, target_bytes)
         for b in buckets
     ]
+
+
+def delete_docs(
+    spark: SparkSession,
+    output_path: str,
+    doc_ids: list[str],
+) -> dict:
+    """Remove the given documents from a committed bucketed output (the
+    right-to-be-forgotten / bad-doc backfill a long-lived corpus needs).
+
+    Bucket-pruned: the bucket of every target id is recomputed with the
+    SAME hash the writer used (pmod(xxhash64(doc_id), K), K = number of
+    bucket directories present), so only affected bucket directories are
+    read and rewritten — at K=4096 deleting a handful of docs touches a
+    handful of directories, not the corpus. Each rewrite reuses the
+    staging-dir swap discipline of ``compact_bucket``; untouched buckets
+    keep their files byte-identical.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(output_path)
+    fs = root.getFileSystem(conf)
+    n_buckets = sum(
+        1 for f in fs.listStatus(root)
+        if f.isDirectory() and f.getPath().getName().startswith("bucket=")
+    )
+    if not n_buckets:
+        raise FileNotFoundError(f"no bucket directories under {output_path}")
+    ids = spark.createDataFrame(
+        [(d,) for d in doc_ids], "doc_id string"
+    ).withColumn(
+        "__bucket",
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"),
+    )
+    affected = sorted(
+        r["__bucket"] for r in ids.select("__bucket").distinct().collect()
+    )
+    removed = 0
+    for b in affected:
+        bucket_dir = f"{output_path}/bucket={b}"
+        path = jvm.org.apache.hadoop.fs.Path(bucket_dir)
+        df = spark.read.parquet(bucket_dir)
+        keep = df.join(
+            F.broadcast(ids.select("doc_id")), "doc_id", "left_anti"
+        )
+        n_before = df.count()
+        staging = jvm.org.apache.hadoop.fs.Path(bucket_dir + ".deleting")
+        keep.write.mode("overwrite").parquet(str(staging))
+        n_after = spark.read.parquet(str(staging)).count()
+        fs.delete(path, True)
+        fs.rename(staging, path)
+        removed += n_before - n_after
+    return {
+        "buckets_rewritten": len(affected),
+        "buckets_total": n_buckets,
+        "rows_removed": removed,
+    }

@@ -248,3 +248,63 @@ def test_compaction_preserves_rows_and_shrinks_files(spark, tmp_path):
     assert sorted(
         tuple(r) for r in job.read_output(spark, out).collect()
     ) == before
+
+
+def test_delete_docs_is_bucket_pruned(spark, tmp_path):
+    """delete_docs rewrites ONLY the buckets holding the target ids:
+    their rows vanish, every other doc's rows survive exactly, and
+    untouched bucket directories keep their files byte-identical."""
+    import os
+
+    from key_resource_table_extractor_spark import job
+
+    inp = job.synthesize_spans(spark, 150, seed=42)
+    out = str(tmp_path / "out")
+    job.run_extraction(
+        spark, inp, out, str(tmp_path / "cp"), run_id="del", n_buckets=5,
+        partitions_per_bucket=4,
+    )
+    all_docs = [
+        r["doc_id"]
+        for r in job.read_output(spark, out).select("doc_id")
+        .distinct().collect()
+    ]
+    targets = sorted(all_docs)[:3]
+    before = {
+        r["doc_id"]
+        for r in job.read_output(spark, out).select("doc_id").collect()
+    }
+    mtimes = {
+        b: sorted(
+            (f, os.path.getmtime(os.path.join(out, b, f)))
+            for f in os.listdir(os.path.join(out, b))
+            if f.endswith(".parquet")
+        )
+        for b in os.listdir(out) if b.startswith("bucket=")
+    }
+    stats = job.delete_docs(spark, out, targets)
+    assert stats["rows_removed"] > 0
+    assert 1 <= stats["buckets_rewritten"] <= 3 < stats["buckets_total"]
+    after = {
+        r["doc_id"]
+        for r in job.read_output(spark, out).select("doc_id").collect()
+    }
+    assert after == before - set(targets)
+    # untouched buckets: same files, same mtimes (never rewritten)
+    from pyspark.sql import functions as FF
+    target_buckets = {
+        int(r["b"]) for r in spark.createDataFrame(
+            [(t,) for t in targets], "doc_id string"
+        ).select(
+            FF.pmod(FF.xxhash64("doc_id"), FF.lit(5)).cast("int").alias("b")
+        ).collect()
+    }
+    for b, files in mtimes.items():
+        bid = int(b.split("=")[1])
+        if bid not in target_buckets:
+            now = sorted(
+                (f, os.path.getmtime(os.path.join(out, b, f)))
+                for f in os.listdir(os.path.join(out, b))
+                if f.endswith(".parquet")
+            )
+            assert now == files, b
