@@ -540,6 +540,13 @@ def compact_output(
     ]
 
 
+def _count_buckets(fs, jvm, root) -> int:
+    return sum(
+        1 for f in fs.listStatus(root)
+        if f.isDirectory() and f.getPath().getName().startswith("bucket=")
+    )
+
+
 def delete_docs(
     spark: SparkSession,
     output_path: str,
@@ -560,10 +567,7 @@ def delete_docs(
     conf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(output_path)
     fs = root.getFileSystem(conf)
-    n_buckets = sum(
-        1 for f in fs.listStatus(root)
-        if f.isDirectory() and f.getPath().getName().startswith("bucket=")
-    )
+    n_buckets = _count_buckets(fs, jvm, root)
     if not n_buckets:
         raise FileNotFoundError(f"no bucket directories under {output_path}")
     ids = spark.createDataFrame(
@@ -594,4 +598,86 @@ def delete_docs(
         "buckets_rewritten": len(affected),
         "buckets_total": n_buckets,
         "rows_removed": removed,
+    }
+
+
+def upsert_docs(
+    spark: SparkSession,
+    input_df: DataFrame,
+    output_path: str,
+    use_arrow: bool = True,
+    output_mode: str = "spans",
+    **extract_kw,
+) -> dict:
+    """Re-extract the documents present in ``input_df`` (a spans table of
+    only the changed/new docs) and replace their rows in a committed
+    bucketed output — the changed-document backfill that pairs with
+    ``delete_docs`` (remove) and ``compact_output`` (rewrite-in-place) to
+    complete the corpus-maintenance surface.
+
+    Extraction runs ONCE: the replacement rows are written to a staging
+    root partitioned by the writer's own bucket hash, then each affected
+    bucket is swapped to (old rows minus upserted doc_ids) ∪ (its staged
+    new rows) with the same staging-dir discipline as ``compact_bucket``.
+    Buckets holding none of the upserted docs keep their files
+    byte-identical; a doc new to the corpus lands in its hash bucket even
+    if that directory did not exist yet. ``extract_kw`` forwards the
+    extraction options (``row_model``, ``excepted_*``, ``gap_min_spaces``)
+    so the replacement rows follow the same config as the original run.
+
+    Like compaction, an upsert is not a lineage event: the checkpoint
+    table is untouched and only ``kind in DATA_KINDS`` rows are written
+    for the replaced docs (per-batch ``stats`` rows describe original
+    run batches, which a partial rewrite cannot meaningfully amend).
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(output_path)
+    fs = root.getFileSystem(conf)
+    n_buckets = _count_buckets(fs, jvm, root)
+    if not n_buckets:
+        raise FileNotFoundError(f"no bucket directories under {output_path}")
+    bucket_of = F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    if output_mode == "spans":
+        new_rows = data_spans(extract(input_df, use_arrow=use_arrow, **extract_kw))
+    elif output_mode in ("nested", "nested-colspans"):
+        new_rows = extract_nested(
+            input_df,
+            with_colspans=(output_mode == "nested-colspans"),
+            **extract_kw,
+        )
+    else:
+        raise ValueError(f"unknown output_mode: {output_mode}")
+    stage_root = output_path + ".upserting_new"
+    stage_path = jvm.org.apache.hadoop.fs.Path(stage_root)
+    (
+        new_rows.withColumn("bucket", bucket_of)
+        .write.mode("overwrite").partitionBy("bucket").parquet(stage_root)
+    )
+    staged = spark.read.parquet(stage_root)
+    ids = staged.select("doc_id", "bucket").distinct().cache()
+    affected = sorted(r["bucket"] for r in ids.select("bucket").distinct().collect())
+    n_docs = ids.count()
+    for b in affected:
+        bucket_dir = f"{output_path}/bucket={b}"
+        path = jvm.org.apache.hadoop.fs.Path(bucket_dir)
+        fresh = staged.where(F.col("bucket") == b).drop("bucket")
+        staging = jvm.org.apache.hadoop.fs.Path(bucket_dir + ".upserting")
+        if fs.exists(path):
+            kept = spark.read.parquet(bucket_dir).join(
+                F.broadcast(ids.select("doc_id")), "doc_id", "left_anti"
+            )
+            merged = kept.unionByName(fresh)
+        else:  # doc new to the corpus whose hash bucket was never written
+            merged = fresh
+        merged.write.mode("overwrite").parquet(str(staging))
+        if fs.exists(path):
+            fs.delete(path, True)
+        fs.rename(staging, path)
+    ids.unpersist()
+    fs.delete(stage_path, True)
+    return {
+        "buckets_rewritten": len(affected),
+        "buckets_total": n_buckets,
+        "docs_upserted": n_docs,
     }

@@ -308,3 +308,83 @@ def test_delete_docs_is_bucket_pruned(spark, tmp_path):
                 if f.endswith(".parquet")
             )
             assert now == files, b
+
+
+def test_upsert_docs_replaces_and_inserts(spark, tmp_path):
+    """upsert_docs swaps in freshly-extracted rows for changed docs and
+    inserts brand-new docs, leaving every other doc's rows (and every
+    unaffected bucket's files) untouched."""
+    import os
+
+    from key_resource_table_extractor_spark import job, oracle, synth
+    from key_resource_table_extractor_spark.schemas import DOCUMENT_SPANS_SCHEMA
+
+    inp = job.synthesize_spans(spark, 120, seed=42)
+    out = str(tmp_path / "out")
+    job.run_extraction(
+        spark, inp, out, str(tmp_path / "cp"), run_id="ups", n_buckets=5,
+        partitions_per_bucket=4,
+    )
+    changed = ["doc_42_0000004", "doc_42_0000011"]
+    brand_new = "doc_new_0000000"
+
+    def spans_row(doc_id, seed):
+        return (doc_id, [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for (k, t, m, o) in synth.generate_doc(doc_id, seed)
+        ])
+
+    upsert_in = spark.createDataFrame(
+        [spans_row(d, 7) for d in changed] + [spans_row(brand_new, 7)],
+        DOCUMENT_SPANS_SCHEMA,
+    )
+    before = {
+        tuple(r) for r in job.read_output(spark, out).collect()
+        if r["doc_id"] not in changed
+    }
+    mtimes = {
+        b: sorted(
+            (f, os.path.getmtime(os.path.join(out, b, f)))
+            for f in os.listdir(os.path.join(out, b))
+            if f.endswith(".parquet")
+        )
+        for b in os.listdir(out) if b.startswith("bucket=")
+    }
+    stats = job.upsert_docs(spark, upsert_in, out)
+    assert stats["docs_upserted"] == 3
+    assert 1 <= stats["buckets_rewritten"] <= 3
+    assert stats["buckets_total"] == 5
+
+    got = job.read_output(spark, out)
+    # replaced + inserted docs carry the NEW content, oracle-exact
+    for d in changed + [brand_new]:
+        rows = [
+            tuple(r)[1:] for r in got.where(F.col("doc_id") == d)
+            .orderBy("seq").drop("bucket").collect()
+        ]
+        exp = oracle.extract_document(synth.generate_doc(d, 7))
+        assert rows == exp, d
+    # every untouched doc's rows survive exactly
+    untouched_now = {
+        tuple(r) for r in got.collect()
+        if r["doc_id"] not in changed + [brand_new]
+    }
+    assert untouched_now == before
+    # buckets holding none of the upserted docs were never rewritten
+    target_buckets = {
+        int(r["b"]) for r in spark.createDataFrame(
+            [(d,) for d in changed + [brand_new]], "doc_id string"
+        ).select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(5)).cast("int").alias("b")
+        ).collect()
+    }
+    for b, files in mtimes.items():
+        if int(b.split("=")[1]) not in target_buckets:
+            now = sorted(
+                (f, os.path.getmtime(os.path.join(out, b, f)))
+                for f in os.listdir(os.path.join(out, b))
+                if f.endswith(".parquet")
+            )
+            assert now == files, b
+    # staging root cleaned up
+    assert not os.path.exists(out + ".upserting_new")
