@@ -388,3 +388,49 @@ def test_upsert_docs_replaces_and_inserts(spark, tmp_path):
             assert now == files, b
     # staging root cleaned up
     assert not os.path.exists(out + ".upserting_new")
+
+
+def test_upsert_docs_nested_mode(spark, tmp_path):
+    """The nested result-JSON output accepts the same upsert: the changed
+    doc's ``result`` is re-rendered from the new spans, other docs keep
+    their rows, and the staged schema matches the committed one."""
+    from key_resource_table_extractor_spark import job, synth
+    from key_resource_table_extractor_spark.schemas import DOCUMENT_SPANS_SCHEMA
+
+    inp = job.synthesize_spans(spark, 60, seed=42)
+    out = str(tmp_path / "out")
+    job.run_extraction(
+        spark, inp, out, str(tmp_path / "cp"), run_id="upn", n_buckets=3,
+        partitions_per_bucket=2, output_mode="nested-colspans",
+    )
+    changed = "doc_42_0000007"
+    new_spans = spark.createDataFrame(
+        [(changed, [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for (k, t, m, o) in synth.generate_doc(changed, 9)
+        ])],
+        DOCUMENT_SPANS_SCHEMA,
+    )
+    before = {
+        r["doc_id"]: r["result"]
+        for r in job.read_output(spark, out).collect()
+    }
+    stats = job.upsert_docs(
+        spark, new_spans, out, output_mode="nested-colspans"
+    )
+    assert stats == {
+        "buckets_rewritten": 1, "buckets_total": 3, "docs_upserted": 1,
+    }
+    after = {
+        r["doc_id"]: r["result"]
+        for r in job.read_output(spark, out).collect()
+    }
+    assert set(after) == set(before)
+    expected = job.extract_nested(
+        new_spans, with_colspans=True
+    ).collect()[0]["result"]
+    assert after[changed] == expected
+    assert after[changed] != before[changed]
+    for d, res in before.items():
+        if d != changed:
+            assert after[d] == res, d
