@@ -637,6 +637,12 @@ def upsert_docs(
     n_buckets = _count_buckets(fs, jvm, root)
     if not n_buckets:
         raise FileNotFoundError(f"no bucket directories under {output_path}")
+    if input_df.isEmpty():  # mirror delete_docs([]) — a committed no-op
+        return {
+            "buckets_rewritten": 0,
+            "buckets_total": n_buckets,
+            "docs_upserted": 0,
+        }
     bucket_of = F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
     if output_mode == "spans":
         new_rows = data_spans(extract(input_df, use_arrow=use_arrow, **extract_kw))

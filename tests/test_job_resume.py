@@ -390,6 +390,26 @@ def test_upsert_docs_replaces_and_inserts(spark, tmp_path):
     assert not os.path.exists(out + ".upserting_new")
 
 
+def test_upsert_docs_empty_input_is_noop(spark, tmp_path):
+    from key_resource_table_extractor_spark import job
+    from key_resource_table_extractor_spark.schemas import DOCUMENT_SPANS_SCHEMA
+
+    inp = job.synthesize_spans(spark, 20, seed=42)
+    out = str(tmp_path / "out")
+    job.run_extraction(
+        spark, inp, out, str(tmp_path / "cp"), run_id="upe", n_buckets=2,
+        partitions_per_bucket=2,
+    )
+    before = job.read_output(spark, out).count()
+    stats = job.upsert_docs(
+        spark, spark.createDataFrame([], DOCUMENT_SPANS_SCHEMA), out
+    )
+    assert stats == {
+        "buckets_rewritten": 0, "buckets_total": 2, "docs_upserted": 0,
+    }
+    assert job.read_output(spark, out).count() == before
+
+
 def test_upsert_docs_nested_mode(spark, tmp_path):
     """The nested result-JSON output accepts the same upsert: the changed
     doc's ``result`` is re-rendered from the new spans, other docs keep
