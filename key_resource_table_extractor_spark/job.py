@@ -19,6 +19,7 @@ granularity without reprocessing completed doc ranges.
 
 from __future__ import annotations
 
+import re
 import time
 import uuid
 
@@ -360,6 +361,7 @@ def run_extraction(
     partitions_per_bucket = (
         partitions_per_bucket or spark.sparkContext.defaultParallelism
     )
+    _write_bucket_count_marker(spark, output_path, n_buckets)
     done = completed_buckets(spark, checkpoint_path, run_id)
     bucketed = input_df.withColumn(
         "__bucket",
@@ -467,6 +469,110 @@ def read_output(
     return data_spans(df)
 
 
+# Anchored: leftover staging/backup siblings (bucket=3.old under the
+# .staging root, or anything a future tool drops next to the buckets)
+# must never count — a wrong K silently re-hashes every doc for
+# delete/upsert targeting.
+_BUCKET_DIR_RE = re.compile(r"^bucket=(\d+)$")
+
+
+def _bucket_ids(fs, root) -> list[int]:
+    """Bucket ids committed under an output root (exact-name match only)."""
+    ids = []
+    for f in fs.listStatus(root):
+        m = _BUCKET_DIR_RE.match(f.getPath().getName())
+        if m and f.isDirectory():
+            ids.append(int(m.group(1)))
+    return sorted(ids)
+
+
+# Written once by run_extraction; underscore prefix keeps it invisible to
+# Spark's partition discovery. Authoritative K for delete/upsert targeting:
+# directory inference cannot detect a missing TOP bucket.
+_BUCKET_COUNT_MARKER = "_krt_n_buckets"
+
+
+def _write_bucket_count_marker(spark, output_path: str, n_buckets: int) -> None:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{output_path}/{_BUCKET_COUNT_MARKER}")
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    try:
+        out.writeBytes(str(int(n_buckets)))
+    finally:
+        out.close()
+
+
+def _writer_bucket_count(fs, jvm, root, output_path: str) -> int:
+    """The writer's K, for recomputing pmod(xxhash64(doc_id), K)
+    placement. Prefer the marker ``run_extraction`` wrote (survives
+    missing/partial bucket directories); fall back to inferring from the
+    committed directories, refusing to guess on a non-contiguous set (a
+    sharded run still in flight, a bucket lost to a crash) rather than
+    silently targeting the wrong buckets."""
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{output_path}/{_BUCKET_COUNT_MARKER}"
+    )
+    if fs.exists(marker):
+        stream = fs.open(marker)
+        try:
+            txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        return int(txt.strip())
+    ids = _bucket_ids(fs, root)
+    if not ids:
+        raise FileNotFoundError(f"no bucket directories under {output_path}")
+    k = ids[-1] + 1
+    if ids != list(range(k)):
+        raise ValueError(
+            f"bucket directories under {output_path} are not contiguous "
+            f"(found {len(ids)} of 0..{k - 1}); pass n_buckets= explicitly "
+            "for a partial or sharded output"
+        )
+    return k
+
+
+def _recover_bucket(fs, jvm, output_path: str, bucket: int) -> bool:
+    """If a previous swap crashed after retiring the live directory but
+    before committing the staged one, the data sits in the ``.staging``
+    backup; restore it so the interrupted operation can simply re-run."""
+    P = jvm.org.apache.hadoop.fs.Path
+    path = P(f"{output_path}/bucket={bucket}")
+    backup = P(f"{output_path}.staging/bucket={bucket}.old")
+    if not fs.exists(path) and fs.exists(backup):
+        if not fs.rename(backup, path):
+            raise IOError(f"restoring {backup} to {path} failed")
+        return True
+    return False
+
+
+def _swap_bucket_dir(fs, jvm, output_path: str, bucket: int, staging) -> None:
+    """Commit a rewritten bucket: retire the live directory to a backup
+    under the sibling ``.staging`` root (never inside the
+    partition-discovered output tree — a half-finished swap must not make
+    ``read_output`` double-count), move the staged directory in, then
+    drop the backup. Hadoop ``FileSystem.rename`` reports failure by
+    returning false, so every step is checked — a failed rename restores
+    the live directory and raises instead of returning success."""
+    P = jvm.org.apache.hadoop.fs.Path
+    path = P(f"{output_path}/bucket={bucket}")
+    backup = P(f"{output_path}.staging/bucket={bucket}.old")
+    fs.mkdirs(P(f"{output_path}.staging"))
+    if fs.exists(backup):
+        fs.delete(backup, True)
+    had_old = fs.exists(path)
+    if had_old and not fs.rename(path, backup):
+        raise IOError(f"retiring {path} to {backup} failed")
+    if not fs.rename(staging, path):
+        if had_old:
+            fs.rename(backup, path)
+        raise IOError(f"committing {staging} to {path} failed")
+    if had_old:
+        fs.delete(backup, True)
+
+
 def compact_bucket(
     spark: SparkSession,
     output_path: str,
@@ -481,17 +587,18 @@ def compact_bucket(
     it can run concurrently with other buckets' compactions and never
     touches the checkpoint table (compaction is not a lineage event).
 
-    Swap discipline: write to a sibling staging dir, then delete the
-    original and rename — the same commit-by-directory-move convention
-    the bucket writer itself relies on. A crash between delete and
-    rename loses no data (the staging dir holds the full copy) and a
-    re-run of ``compact_bucket`` is a no-op-sized rewrite.
-    """
+    Swap discipline (shared with ``delete_docs``/``upsert_docs``): the
+    rewritten copy is staged under the sibling ``.staging`` root, the
+    live directory is retired to a backup there, the staged copy is
+    renamed in, and only then is the backup dropped — every rename
+    checked, and a crash between retire and commit is healed by the
+    ``_recover_bucket`` restore on the next run."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     bucket_dir = f"{output_path}/bucket={bucket}"
     path = jvm.org.apache.hadoop.fs.Path(bucket_dir)
     fs = path.getFileSystem(conf)
+    _recover_bucket(fs, jvm, output_path, bucket)
     if not fs.exists(path):
         raise FileNotFoundError(bucket_dir)
     summary = fs.getContentSummary(path)
@@ -502,10 +609,11 @@ def compact_bucket(
     )
     n_files = max(1, -(-total // target_bytes))
     df = spark.read.parquet(bucket_dir)
-    staging = jvm.org.apache.hadoop.fs.Path(bucket_dir + ".compacting")
+    staging = jvm.org.apache.hadoop.fs.Path(
+        f"{output_path}.staging/bucket={bucket}.compacting"
+    )
     df.repartition(n_files).write.mode("overwrite").parquet(str(staging))
-    fs.delete(path, True)
-    fs.rename(staging, path)
+    _swap_bucket_dir(fs, jvm, output_path, bucket, staging)
     return {
         "bucket": bucket,
         "bytes": total,
@@ -522,54 +630,50 @@ def compact_output(
 ) -> list[dict]:
     """Compact every (or the given) bucket directory under
     ``output_path``. Buckets are independent — an orchestrator can shard
-    this loop exactly like the extraction buckets themselves."""
+    this loop exactly like the extraction buckets themselves (and a
+    sharded driver MUST pass its own subset: compacting a bucket another
+    driver is still writing would swap in a stale snapshot)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(output_path)
     fs = root.getFileSystem(conf)
     if buckets is None:
-        buckets = sorted(
-            int(f.getPath().getName().split("=", 1)[1])
-            for f in fs.listStatus(root)
-            if f.isDirectory()
-            and f.getPath().getName().startswith("bucket=")
-        )
+        buckets = _bucket_ids(fs, root)
     return [
         compact_bucket(spark, output_path, b, target_bytes)
         for b in buckets
     ]
 
 
-def _count_buckets(fs, jvm, root) -> int:
-    return sum(
-        1 for f in fs.listStatus(root)
-        if f.isDirectory() and f.getPath().getName().startswith("bucket=")
-    )
-
-
 def delete_docs(
     spark: SparkSession,
     output_path: str,
     doc_ids: list[str],
+    n_buckets: int | None = None,
 ) -> dict:
     """Remove the given documents from a committed bucketed output (the
     right-to-be-forgotten / bad-doc backfill a long-lived corpus needs).
 
     Bucket-pruned: the bucket of every target id is recomputed with the
-    SAME hash the writer used (pmod(xxhash64(doc_id), K), K = number of
-    bucket directories present), so only affected bucket directories are
-    read and rewritten — at K=4096 deleting a handful of docs touches a
-    handful of directories, not the corpus. Each rewrite reuses the
-    staging-dir swap discipline of ``compact_bucket``; untouched buckets
-    keep their files byte-identical.
+    SAME hash the writer used (pmod(xxhash64(doc_id), K)). K is inferred
+    from the committed directories when the output is complete and must
+    be passed explicitly for a partial/sharded one (see
+    ``_writer_bucket_count``). Only affected bucket directories are read
+    and rewritten — at K=4096 deleting a handful of docs touches a
+    handful of directories, not the corpus. Each rewrite pays ONE scan of
+    the bucket: before/after row counts ride the write as ``Observation``
+    metrics (the ``run_extraction`` pattern), and the swap reuses the
+    checked retire/commit discipline of ``compact_bucket``; untouched
+    buckets keep their files byte-identical.
     """
+    from pyspark.sql import Observation
+
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(output_path)
     fs = root.getFileSystem(conf)
-    n_buckets = _count_buckets(fs, jvm, root)
-    if not n_buckets:
-        raise FileNotFoundError(f"no bucket directories under {output_path}")
+    if n_buckets is None:
+        n_buckets = _writer_bucket_count(fs, jvm, root, output_path)
     ids = spark.createDataFrame(
         [(d,) for d in doc_ids], "doc_id string"
     ).withColumn(
@@ -580,22 +684,29 @@ def delete_docs(
         r["__bucket"] for r in ids.select("__bucket").distinct().collect()
     )
     removed = 0
+    rewritten = 0
     for b in affected:
+        _recover_bucket(fs, jvm, output_path, b)
         bucket_dir = f"{output_path}/bucket={b}"
-        path = jvm.org.apache.hadoop.fs.Path(bucket_dir)
-        df = spark.read.parquet(bucket_dir)
-        keep = df.join(
-            F.broadcast(ids.select("doc_id")), "doc_id", "left_anti"
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(bucket_dir)):
+            continue  # explicit-K partial output: nothing written there yet
+        obs_in = Observation(f"del_in_{b}_{uuid.uuid4().hex[:6]}")
+        obs_out = Observation(f"del_out_{b}_{uuid.uuid4().hex[:6]}")
+        keep = (
+            spark.read.parquet(bucket_dir)
+            .observe(obs_in, F.count(F.lit(1)).alias("n"))
+            .join(F.broadcast(ids.select("doc_id")), "doc_id", "left_anti")
+            .observe(obs_out, F.count(F.lit(1)).alias("n"))
         )
-        n_before = df.count()
-        staging = jvm.org.apache.hadoop.fs.Path(bucket_dir + ".deleting")
+        staging = jvm.org.apache.hadoop.fs.Path(
+            f"{output_path}.staging/bucket={b}.deleting"
+        )
         keep.write.mode("overwrite").parquet(str(staging))
-        n_after = spark.read.parquet(str(staging)).count()
-        fs.delete(path, True)
-        fs.rename(staging, path)
-        removed += n_before - n_after
+        _swap_bucket_dir(fs, jvm, output_path, b, staging)
+        removed += int(obs_in.get["n"]) - int(obs_out.get["n"])
+        rewritten += 1
     return {
-        "buckets_rewritten": len(affected),
+        "buckets_rewritten": rewritten,
         "buckets_total": n_buckets,
         "rows_removed": removed,
     }
@@ -607,6 +718,7 @@ def upsert_docs(
     output_path: str,
     use_arrow: bool = True,
     output_mode: str = "spans",
+    n_buckets: int | None = None,
     **extract_kw,
 ) -> dict:
     """Re-extract the documents present in ``input_df`` (a spans table of
@@ -618,7 +730,10 @@ def upsert_docs(
     Extraction runs ONCE: the replacement rows are written to a staging
     root partitioned by the writer's own bucket hash, then each affected
     bucket is swapped to (old rows minus upserted doc_ids) ∪ (its staged
-    new rows) with the same staging-dir discipline as ``compact_bucket``.
+    new rows) with the same checked retire/commit swap as
+    ``compact_bucket``. The replace set is derived from ``input_df``, NOT
+    from the extraction output — a changed doc whose new content yields
+    zero rows (no tables detected) still has its stale rows removed.
     Buckets holding none of the upserted docs keep their files
     byte-identical; a doc new to the corpus lands in its hash bucket even
     if that directory did not exist yet. ``extract_kw`` forwards the
@@ -630,13 +745,14 @@ def upsert_docs(
     for the replaced docs (per-batch ``stats`` rows describe original
     run batches, which a partial rewrite cannot meaningfully amend).
     """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(output_path)
     fs = root.getFileSystem(conf)
-    n_buckets = _count_buckets(fs, jvm, root)
-    if not n_buckets:
-        raise FileNotFoundError(f"no bucket directories under {output_path}")
+    if n_buckets is None:
+        n_buckets = _writer_bucket_count(fs, jvm, root, output_path)
     if input_df.isEmpty():  # mirror delete_docs([]) — a committed no-op
         return {
             "buckets_rewritten": 0,
@@ -654,22 +770,45 @@ def upsert_docs(
         )
     else:
         raise ValueError(f"unknown output_mode: {output_mode}")
-    stage_root = output_path + ".upserting_new"
+    stage_root = f"{output_path}.staging/upsert_rows"
     stage_path = jvm.org.apache.hadoop.fs.Path(stage_root)
     (
         new_rows.withColumn("bucket", bucket_of)
         .write.mode("overwrite").partitionBy("bucket").parquet(stage_root)
     )
-    staged = spark.read.parquet(stage_root)
-    ids = staged.select("doc_id", "bucket").distinct().cache()
+    # explicit schema: a staged write where every doc produced zero rows
+    # has no parquet files to infer from, and the replace set below must
+    # still be honored
+    staged = spark.read.schema(
+        StructType(
+            new_rows.schema.fields + [StructField("bucket", IntegerType())]
+        )
+    ).parquet(stage_root)
+    fresh_buckets = {
+        r["bucket"] for r in staged.select("bucket").distinct().collect()
+    }
+    ids = (
+        input_df.select("doc_id").distinct()
+        .withColumn("bucket", bucket_of)
+        .cache()
+    )
     affected = sorted(r["bucket"] for r in ids.select("bucket").distinct().collect())
     n_docs = ids.count()
+    rewritten = 0
     for b in affected:
+        _recover_bucket(fs, jvm, output_path, b)
         bucket_dir = f"{output_path}/bucket={b}"
         path = jvm.org.apache.hadoop.fs.Path(bucket_dir)
+        exists = fs.exists(path)
+        if not exists and b not in fresh_buckets:
+            # new doc whose extraction emitted nothing, in a bucket never
+            # written: nothing to remove, nothing to add
+            continue
         fresh = staged.where(F.col("bucket") == b).drop("bucket")
-        staging = jvm.org.apache.hadoop.fs.Path(bucket_dir + ".upserting")
-        if fs.exists(path):
+        staging = jvm.org.apache.hadoop.fs.Path(
+            f"{output_path}.staging/bucket={b}.upserting"
+        )
+        if exists:
             kept = spark.read.parquet(bucket_dir).join(
                 F.broadcast(ids.select("doc_id")), "doc_id", "left_anti"
             )
@@ -677,13 +816,12 @@ def upsert_docs(
         else:  # doc new to the corpus whose hash bucket was never written
             merged = fresh
         merged.write.mode("overwrite").parquet(str(staging))
-        if fs.exists(path):
-            fs.delete(path, True)
-        fs.rename(staging, path)
+        _swap_bucket_dir(fs, jvm, output_path, b, staging)
+        rewritten += 1
     ids.unpersist()
     fs.delete(stage_path, True)
     return {
-        "buckets_rewritten": len(affected),
+        "buckets_rewritten": rewritten,
         "buckets_total": n_buckets,
         "docs_upserted": n_docs,
     }

@@ -94,9 +94,12 @@ def main(argv=None):
         )
         wall = time.time() - t0
         if args.compact_target_mb:
+            # a sharded driver compacts ONLY its own buckets: another
+            # shard may still be writing the rest
             stats = job.compact_output(
                 spark, args.out,
                 target_bytes=args.compact_target_mb << 20,
+                buckets=_ints(args.bucket_subset),
             )
             summary["compacted_files"] = sum(s["files_after"] for s in stats)
         out_rows = job.read_output(spark, args.out).count()

@@ -386,8 +386,114 @@ def test_upsert_docs_replaces_and_inserts(spark, tmp_path):
                 if f.endswith(".parquet")
             )
             assert now == files, b
-    # staging root cleaned up
-    assert not os.path.exists(out + ".upserting_new")
+    # staged replacement rows cleaned up; no temp dirs inside the
+    # partition-discovered output root
+    assert not os.path.exists(out + ".staging/upsert_rows")
+    assert all(
+        job._BUCKET_DIR_RE.match(d) for d in os.listdir(out)
+        if not d.startswith(("_", "."))  # Spark hides _* and .* entries
+    )
+
+
+def test_upsert_zero_output_doc_still_removes_stale_rows(spark, tmp_path):
+    """A changed doc whose NEW content yields no extraction rows must
+    still have its stale rows removed — the replace set comes from the
+    input, not from the extraction output."""
+    from key_resource_table_extractor_spark import job, oracle
+    from key_resource_table_extractor_spark.schemas import DOCUMENT_SPANS_SCHEMA
+
+    inp = job.synthesize_spans(spark, 40, seed=42)
+    out = str(tmp_path / "out")
+    job.run_extraction(
+        spark, inp, out, str(tmp_path / "cp"), run_id="upz", n_buckets=3,
+        partitions_per_bucket=2,
+    )
+    # pick a doc that currently HAS output rows
+    changed = (
+        job.read_output(spark, out).select("doc_id").distinct().head()["doc_id"]
+    )
+    tableless = [
+        {"kind": "text", "text": "plain paragraph with no tables at all",
+         "media_ref": None, "offset": 0},
+        {"kind": "text", "text": "another prose line", "media_ref": None,
+         "offset": 1},
+    ]
+    assert oracle.extract_document(
+        [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in tableless]
+    ) == []
+    stats = job.upsert_docs(
+        spark,
+        spark.createDataFrame([(changed, tableless)], DOCUMENT_SPANS_SCHEMA),
+        out,
+    )
+    assert stats["docs_upserted"] == 1
+    assert stats["buckets_rewritten"] == 1
+    got = job.read_output(spark, out)
+    assert got.where(F.col("doc_id") == changed).count() == 0
+
+
+def test_maintenance_k_resolution(spark, tmp_path):
+    """The writer's K comes from the _krt_n_buckets marker (survives any
+    missing bucket dir); the directory-inference fallback is anchored
+    (lookalike dirs don't count) and refuses a non-contiguous set; an
+    explicit n_buckets always overrides."""
+    import os
+    import shutil
+
+    from key_resource_table_extractor_spark import job
+
+    inp = job.synthesize_spans(spark, 40, seed=42)
+    out = str(tmp_path / "out")
+    job.run_extraction(
+        spark, inp, out, str(tmp_path / "cp"), run_id="kpi", n_buckets=4,
+        partitions_per_bucket=2,
+    )
+    assert os.path.exists(os.path.join(out, "_krt_n_buckets"))
+    # a stray lookalike dir inside the root must not change K
+    os.makedirs(os.path.join(out, "bucket=2.junk"))
+    assert job.delete_docs(spark, out, ["doc_42_0000001"])["buckets_total"] == 4
+    shutil.rmtree(os.path.join(out, "bucket=2.junk"))
+    # marker survives losing the TOP bucket (dir inference alone can't)
+    shutil.rmtree(os.path.join(out, "bucket=3"))
+    assert job.delete_docs(spark, out, ["doc_42_0000002"])["buckets_total"] == 4
+    # no marker (pre-marker output) + non-contiguous dirs: refuse loudly
+    os.remove(os.path.join(out, "_krt_n_buckets"))
+    shutil.rmtree(os.path.join(out, "bucket=1"))
+    with pytest.raises(ValueError, match="not contiguous"):
+        job.delete_docs(spark, out, ["doc_42_0000005"])
+    stats = job.delete_docs(spark, out, ["doc_42_0000005"], n_buckets=4)
+    assert stats["buckets_total"] == 4
+
+
+def test_compact_bucket_recovers_interrupted_swap(spark, tmp_path):
+    """A crash between retiring the live dir and committing the staged
+    one leaves the data in the .staging backup; the next run restores it
+    and completes."""
+    import os
+
+    from key_resource_table_extractor_spark import job
+
+    inp = job.synthesize_spans(spark, 30, seed=42)
+    out = str(tmp_path / "out")
+    job.run_extraction(
+        spark, inp, out, str(tmp_path / "cp"), run_id="rec", n_buckets=2,
+        partitions_per_bucket=2,
+    )
+    before = {
+        tuple(r) for r in job.read_output(spark, out, buckets=[0]).collect()
+    }
+    # simulate the retire-then-crash window
+    os.makedirs(out + ".staging", exist_ok=True)
+    os.rename(os.path.join(out, "bucket=0"), out + ".staging/bucket=0.old")
+    # the half-swapped state is invisible to readers of the root
+    assert job.read_output(spark, out, buckets=[1]).count() > 0
+    stats = job.compact_bucket(spark, out, 0)
+    assert stats["files_after"] >= 1
+    after = {
+        tuple(r) for r in job.read_output(spark, out, buckets=[0]).collect()
+    }
+    assert after == before
+    assert not os.path.exists(out + ".staging/bucket=0.old")
 
 
 def test_upsert_docs_empty_input_is_noop(spark, tmp_path):
