@@ -176,6 +176,58 @@ def test_cli_nested_output_mode(spark, tmp_path):
                     )
 
 
+def test_cli_maintenance_surface(spark, tmp_path):
+    """scripts/maintain_output.py routes delete/upsert/compact to the job
+    maintenance ops and reports their summaries."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from key_resource_table_extractor_spark import job, synth
+    from key_resource_table_extractor_spark.schemas import DOCUMENT_SPANS_SCHEMA
+
+    out = str(tmp_path / "out")
+    job.run_extraction(
+        spark, job.synthesize_spans(spark, 50, seed=42), out,
+        str(tmp_path / "cp"), run_id="mcli", n_buckets=3,
+        partitions_per_bucket=2,
+    )
+    changed = "doc_42_0000004"
+    spark.createDataFrame(
+        [(changed, [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for (k, t, m, o) in synth.generate_doc(changed, 9)
+        ])],
+        DOCUMENT_SPANS_SCHEMA,
+    ).write.mode("overwrite").parquet(str(tmp_path / "changed"))
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "scripts/maintain_output.py",
+             "--master", "local[2]", *argv],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return _json.loads(r.stdout.strip().splitlines()[-1])
+
+    gone = "doc_42_0000007"
+    s = run("delete", "--out", out, "--doc-ids", gone)
+    assert s["cmd"] == "delete" and s["rows_removed"] > 0
+    s = run("upsert", "--out", out, "--input", str(tmp_path / "changed"))
+    assert s["cmd"] == "upsert" and s["docs_upserted"] == 1
+    s = run("compact", "--out", out, "--target-mb", "256")
+    assert s["cmd"] == "compact" and s["files_after"] == 3
+
+    got = job.read_output(spark, out)
+    assert got.where(F.col("doc_id") == gone).count() == 0
+    from key_resource_table_extractor_spark import oracle
+    rows = [
+        tuple(r)[1:] for r in got.where(F.col("doc_id") == changed)
+        .orderBy("seq").drop("bucket").collect()
+    ]
+    assert rows == oracle.extract_document(synth.generate_doc(changed, 9))
+
+
 def test_nested_mode_checkpoint_resume(spark, tmp_path):
     """Nested output under the bucket checkpoint: a crashed run resumes,
     skips committed buckets, and the final table equals a clean
