@@ -493,10 +493,29 @@ _BUCKET_COUNT_MARKER = "_krt_n_buckets"
 
 
 def _write_bucket_count_marker(spark, output_path: str, n_buckets: int) -> None:
+    """Persist the run's K; refuse to continue an output written with a
+    different K (resuming with a mismatched ``n_buckets`` would place the
+    remaining buckets' docs under a different hash than the committed
+    ones — silent corruption, so fail loudly instead)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(f"{output_path}/{_BUCKET_COUNT_MARKER}")
     fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        stream = fs.open(p)
+        try:
+            prev = int(
+                jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+                .strip()
+            )
+        finally:
+            stream.close()
+        if prev != int(n_buckets):
+            raise ValueError(
+                f"{output_path} was written with n_buckets={prev}; "
+                f"refusing to continue it with n_buckets={n_buckets}"
+            )
+        return  # unchanged: don't touch the marker's mtime
     out = fs.create(p, True)
     try:
         out.writeBytes(str(int(n_buckets)))

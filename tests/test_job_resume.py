@@ -176,6 +176,30 @@ def test_cli_nested_output_mode(spark, tmp_path):
                     )
 
 
+def test_rerun_with_different_n_buckets_refused(spark, tmp_path):
+    """Continuing a committed output with a different n_buckets would hash
+    the remaining docs under a different bucket set — refused loudly."""
+    from key_resource_table_extractor_spark import job
+
+    inp = job.synthesize_spans(spark, 20, seed=42)
+    out = str(tmp_path / "out")
+    job.run_extraction(
+        spark, inp, out, str(tmp_path / "cp"), run_id="k1", n_buckets=4,
+        partitions_per_bucket=2,
+    )
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        job.run_extraction(
+            spark, inp, out, str(tmp_path / "cp"), run_id="k2", n_buckets=8,
+            partitions_per_bucket=2,
+        )
+    # same K resumes fine
+    s = job.run_extraction(
+        spark, inp, out, str(tmp_path / "cp"), run_id="k1", n_buckets=4,
+        partitions_per_bucket=2,
+    )
+    assert s["buckets_skipped"] == 4
+
+
 def test_cli_maintenance_surface(spark, tmp_path):
     """scripts/maintain_output.py routes delete/upsert/compact to the job
     maintenance ops and reports their summaries."""
