@@ -592,6 +592,56 @@ def _swap_bucket_dir(fs, jvm, output_path: str, bucket: int, staging) -> None:
         fs.delete(backup, True)
 
 
+def output_status(spark: SparkSession, output_path: str) -> dict:
+    """Operational summary of a committed output from filesystem metadata
+    alone — no Spark jobs, no data reads. Flags the conditions the
+    maintenance ops care about: buckets missing vs the writer's K, and
+    interrupted-swap backups awaiting recovery."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(output_path)
+    fs = root.getFileSystem(conf)
+    ids = _bucket_ids(fs, root)
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{output_path}/{_BUCKET_COUNT_MARKER}"
+    )
+    k = None
+    if fs.exists(marker):
+        stream = fs.open(marker)
+        try:
+            k = int(
+                jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+                .strip()
+            )
+        finally:
+            stream.close()
+    n_files = 0
+    n_bytes = 0
+    for b in ids:
+        p = jvm.org.apache.hadoop.fs.Path(f"{output_path}/bucket={b}")
+        for f in fs.listStatus(p):
+            if f.getPath().getName().endswith(".parquet"):
+                n_files += 1
+                n_bytes += int(f.getLen())
+    staging_root = jvm.org.apache.hadoop.fs.Path(f"{output_path}.staging")
+    pending = []
+    if fs.exists(staging_root):
+        pending = sorted(
+            f.getPath().getName()
+            for f in fs.listStatus(staging_root)
+        )
+    return {
+        "n_buckets_marker": k,
+        "buckets_present": len(ids),
+        "buckets_missing": (
+            sorted(set(range(k)) - set(ids)) if k is not None else None
+        ),
+        "parquet_files": n_files,
+        "parquet_bytes": n_bytes,
+        "staging_leftovers": pending,
+    }
+
+
 def compact_bucket(
     spark: SparkSession,
     output_path: str,

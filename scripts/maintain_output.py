@@ -41,6 +41,10 @@ def main(argv=None):
     p.add_argument("--master", default=None, help="e.g. local[8]")
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    s = sub.add_parser("status", help="per-bucket file/byte summary "
+                                      "(filesystem metadata only, no jobs)")
+    s.add_argument("--out", required=True)
+
     c = sub.add_parser("compact", help="rewrite buckets into ~N MB files")
     c.add_argument("--out", required=True)
     c.add_argument("--target-mb", type=int, default=256)
@@ -78,7 +82,9 @@ def main(argv=None):
 
     spark = build_session(app_name="krt-maintain", master=args.master)
     try:
-        if args.cmd == "compact":
+        if args.cmd == "status":
+            summary = {"cmd": "status"} | job.output_status(spark, args.out)
+        elif args.cmd == "compact":
             stats = job.compact_output(
                 spark, args.out, target_bytes=args.target_mb << 20,
                 buckets=_ints(args.bucket_subset),

@@ -241,6 +241,10 @@ def test_cli_maintenance_surface(spark, tmp_path):
     assert s["cmd"] == "upsert" and s["docs_upserted"] == 1
     s = run("compact", "--out", out, "--target-mb", "256")
     assert s["cmd"] == "compact" and s["files_after"] == 3
+    s = run("status", "--out", out)
+    assert s["n_buckets_marker"] == 3 and s["buckets_present"] == 3
+    assert s["buckets_missing"] == [] and s["staging_leftovers"] == []
+    assert s["parquet_files"] == 3 and s["parquet_bytes"] > 0
 
     got = job.read_output(spark, out)
     assert got.where(F.col("doc_id") == gone).count() == 0
