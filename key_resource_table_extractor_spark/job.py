@@ -478,6 +478,8 @@ _BUCKET_DIR_RE = re.compile(r"^bucket=(\d+)$")
 
 def _bucket_ids(fs, root) -> list[int]:
     """Bucket ids committed under an output root (exact-name match only)."""
+    if not fs.exists(root):
+        raise FileNotFoundError(f"no such output: {root}")
     ids = []
     for f in fs.listStatus(root):
         m = _BUCKET_DIR_RE.match(f.getPath().getName())
