@@ -494,30 +494,49 @@ def _bucket_ids(fs, root) -> list[int]:
 _BUCKET_COUNT_MARKER = "_krt_n_buckets"
 
 
+def _read_bucket_count_marker(fs, jvm, output_path: str) -> int | None:
+    p = jvm.org.apache.hadoop.fs.Path(f"{output_path}/{_BUCKET_COUNT_MARKER}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return int(txt.strip())
+
+
 def _write_bucket_count_marker(spark, output_path: str, n_buckets: int) -> None:
     """Persist the run's K; refuse to continue an output written with a
     different K (resuming with a mismatched ``n_buckets`` would place the
     remaining buckets' docs under a different hash than the committed
-    ones — silent corruption, so fail loudly instead)."""
+    ones — silent corruption, so fail loudly instead). For a pre-marker
+    (legacy) output the committed directories are cross-checked before
+    the caller's K becomes authoritative: any directory outside
+    ``range(n_buckets)`` proves a mismatch. (A legacy PARTIAL output
+    whose committed ids all fit inside a smaller wrong K is undetectable
+    — ship the marker with the original run to close that.)"""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(f"{output_path}/{_BUCKET_COUNT_MARKER}")
     fs = p.getFileSystem(conf)
-    if fs.exists(p):
-        stream = fs.open(p)
-        try:
-            prev = int(
-                jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-                .strip()
-            )
-        finally:
-            stream.close()
+    prev = _read_bucket_count_marker(fs, jvm, output_path)
+    if prev is not None:
         if prev != int(n_buckets):
             raise ValueError(
                 f"{output_path} was written with n_buckets={prev}; "
                 f"refusing to continue it with n_buckets={n_buckets}"
             )
         return  # unchanged: don't touch the marker's mtime
+    root = jvm.org.apache.hadoop.fs.Path(output_path)
+    if fs.exists(root):
+        ids = _bucket_ids(fs, root)
+        if ids and ids[-1] + 1 > int(n_buckets):
+            raise ValueError(
+                f"{output_path} holds bucket={ids[-1]} — written with "
+                f"n_buckets>{ids[-1]}; refusing to continue it with "
+                f"n_buckets={n_buckets}"
+            )
     out = fs.create(p, True)
     try:
         out.writeBytes(str(int(n_buckets)))
@@ -532,16 +551,9 @@ def _writer_bucket_count(fs, jvm, root, output_path: str) -> int:
     committed directories, refusing to guess on a non-contiguous set (a
     sharded run still in flight, a bucket lost to a crash) rather than
     silently targeting the wrong buckets."""
-    marker = jvm.org.apache.hadoop.fs.Path(
-        f"{output_path}/{_BUCKET_COUNT_MARKER}"
-    )
-    if fs.exists(marker):
-        stream = fs.open(marker)
-        try:
-            txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-        finally:
-            stream.close()
-        return int(txt.strip())
+    k = _read_bucket_count_marker(fs, jvm, output_path)
+    if k is not None:
+        return k
     ids = _bucket_ids(fs, root)
     if not ids:
         raise FileNotFoundError(f"no bucket directories under {output_path}")
@@ -587,8 +599,11 @@ def _swap_bucket_dir(fs, jvm, output_path: str, bucket: int, staging) -> None:
     if had_old and not fs.rename(path, backup):
         raise IOError(f"retiring {path} to {backup} failed")
     if not fs.rename(staging, path):
-        if had_old:
-            fs.rename(backup, path)
+        if had_old and not fs.rename(backup, path):
+            raise IOError(
+                f"committing {staging} to {path} failed AND restoring "
+                f"{backup} failed — the bucket's data is in {backup}"
+            )
         raise IOError(f"committing {staging} to {path} failed")
     if had_old:
         fs.delete(backup, True)
@@ -604,19 +619,7 @@ def output_status(spark: SparkSession, output_path: str) -> dict:
     root = jvm.org.apache.hadoop.fs.Path(output_path)
     fs = root.getFileSystem(conf)
     ids = _bucket_ids(fs, root)
-    marker = jvm.org.apache.hadoop.fs.Path(
-        f"{output_path}/{_BUCKET_COUNT_MARKER}"
-    )
-    k = None
-    if fs.exists(marker):
-        stream = fs.open(marker)
-        try:
-            k = int(
-                jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-                .strip()
-            )
-        finally:
-            stream.close()
+    k = _read_bucket_count_marker(fs, jvm, output_path)
     n_files = 0
     n_bytes = 0
     for b in ids:
@@ -709,7 +712,17 @@ def compact_output(
     root = jvm.org.apache.hadoop.fs.Path(output_path)
     fs = root.getFileSystem(conf)
     if buckets is None:
-        buckets = _bucket_ids(fs, root)
+        # include buckets currently retired by an interrupted swap (only
+        # their .staging backup exists) — compact_bucket's recovery
+        # restores them, so the natural retry must enumerate them
+        buckets = set(_bucket_ids(fs, root))
+        staging_root = jvm.org.apache.hadoop.fs.Path(f"{output_path}.staging")
+        if fs.exists(staging_root):
+            for f in fs.listStatus(staging_root):
+                m = re.match(r"^bucket=(\d+)\.old$", f.getPath().getName())
+                if m:
+                    buckets.add(int(m.group(1)))
+        buckets = sorted(buckets)
     return [
         compact_bucket(spark, output_path, b, target_bytes)
         for b in buckets
@@ -743,6 +756,8 @@ def delete_docs(
     conf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(output_path)
     fs = root.getFileSystem(conf)
+    if not fs.exists(root):  # even with explicit n_buckets: a typo'd path
+        raise FileNotFoundError(f"no such output: {output_path}")
     if n_buckets is None:
         n_buckets = _writer_bucket_count(fs, jvm, root, output_path)
     ids = spark.createDataFrame(
@@ -822,6 +837,8 @@ def upsert_docs(
     conf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(output_path)
     fs = root.getFileSystem(conf)
+    if not fs.exists(root):  # even with explicit n_buckets: a typo'd path
+        raise FileNotFoundError(f"no such output: {output_path}")
     if n_buckets is None:
         n_buckets = _writer_bucket_count(fs, jvm, root, output_path)
     if input_df.isEmpty():  # mirror delete_docs([]) — a committed no-op

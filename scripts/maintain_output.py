@@ -99,7 +99,7 @@ def main(argv=None):
             if bool(args.doc_ids) == bool(args.doc_ids_file):
                 p.error("delete needs exactly one of --doc-ids / --doc-ids-file")
             if args.doc_ids:
-                ids = args.doc_ids.split(",")
+                ids = [x.strip() for x in args.doc_ids.split(",") if x.strip()]
             else:
                 with open(args.doc_ids_file) as fh:
                     ids = [ln.strip() for ln in fh if ln.strip()]

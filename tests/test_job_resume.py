@@ -198,6 +198,16 @@ def test_rerun_with_different_n_buckets_refused(spark, tmp_path):
         partitions_per_bucket=2,
     )
     assert s["buckets_skipped"] == 4
+    # legacy (pre-marker) output: committed dirs outside range(K) still
+    # prove the mismatch
+    import os
+
+    os.remove(os.path.join(out, "_krt_n_buckets"))
+    with pytest.raises(ValueError, match="holds bucket=3"):
+        job.run_extraction(
+            spark, inp, out, str(tmp_path / "cp"), run_id="k3", n_buckets=2,
+            partitions_per_bucket=2,
+        )
 
 
 def test_cli_maintenance_surface(spark, tmp_path):
@@ -543,6 +553,9 @@ def test_maintenance_k_resolution(spark, tmp_path):
         job.delete_docs(spark, out, ["doc_42_0000005"])
     stats = job.delete_docs(spark, out, ["doc_42_0000005"], n_buckets=4)
     assert stats["buckets_total"] == 4
+    # explicit K must not bypass the missing-output check
+    with pytest.raises(FileNotFoundError):
+        job.delete_docs(spark, str(tmp_path / "nope"), ["x"], n_buckets=4)
 
 
 def test_compact_bucket_recovers_interrupted_swap(spark, tmp_path):
@@ -567,8 +580,10 @@ def test_compact_bucket_recovers_interrupted_swap(spark, tmp_path):
     os.rename(os.path.join(out, "bucket=0"), out + ".staging/bucket=0.old")
     # the half-swapped state is invisible to readers of the root
     assert job.read_output(spark, out, buckets=[1]).count() > 0
-    stats = job.compact_bucket(spark, out, 0)
-    assert stats["files_after"] >= 1
+    # the natural retry (no explicit subset) must enumerate the retired
+    # bucket even though only its .staging backup exists
+    stats = job.compact_output(spark, out)
+    assert [s["bucket"] for s in stats] == [0, 1]
     after = {
         tuple(r) for r in job.read_output(spark, out, buckets=[0]).collect()
     }
