@@ -44,3 +44,84 @@ def read_schema_columns(df: DataFrame) -> list[str]:
 
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df)
+
+
+# --------------------------------------------------------------------------
+# single-partition hazard sweep
+# --------------------------------------------------------------------------
+
+# A SinglePartition exchange is harmless when everything below it is
+# already bounded: an aggregate's output is group-cardinality, a limit's
+# output is the limit. Only a raw scan flowing straight into one task
+# (the unpartitioned-window-over-a-table shape) is the scale-killer.
+_BOUNDING_NODES = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+)
+
+
+def _parse_plan_trees(plan: str) -> list[list[tuple[int, int, str]]]:
+    """Parse formatted-explain tree blocks into (depth, node_id, name)."""
+    import re
+
+    node_re = re.compile(r"^([\s:+|-]*)([A-Za-z][\w .]*?)\s*\((\d+)\)\s*$")
+    trees: list[list[tuple[int, int, str]]] = []
+    current: list[tuple[int, int, str]] = []
+    for line in plan.splitlines():
+        m = node_re.match(line)
+        if m:
+            prefix, name, nid = m.groups()
+            current.append((len(prefix) // 3, int(nid), name.strip()))
+        elif current:
+            trees.append(current)
+            current = []
+    if current:
+        trees.append(current)
+    return trees
+
+
+def single_partition_hazards(df: DataFrame) -> list[str]:
+    """Exchange SinglePartition nodes fed by a raw scan with no aggregate
+    or limit anywhere between the scan and the exchange — i.e. plans that
+    move an unbounded table through one task. Returns one description per
+    offending node; empty list = plan is single-partition-safe."""
+    import re
+
+    plan = explain_str(df)
+    # node detail blocks: "(n) Name" header through the next "(m) ..." header
+    single_ids: set[int] = set()
+    blocks = re.split(r"(?m)^(?=\(\d+\) )", plan)
+    for block in blocks:
+        m = re.match(r"\((\d+)\) Exchange\b", block)
+        if m and re.search(r"(?m)^Arguments: SinglePartition", block):
+            single_ids.add(int(m.group(1)))
+    if not single_ids:
+        return []
+    hazards: list[str] = []
+    for tree in _parse_plan_trees(plan):
+        for i, (depth, nid, name) in enumerate(tree):
+            if nid not in single_ids:
+                continue
+            # walk the subtree under this exchange; prune any branch that
+            # passes through a bounding node before its scan
+            j = i + 1
+            while j < len(tree) and tree[j][0] > depth:
+                d, _, child = tree[j]
+                if child.startswith(_BOUNDING_NODES):
+                    k = j + 1
+                    while k < len(tree) and tree[k][0] > d:
+                        k += 1
+                    j = k
+                    continue
+                if child.startswith("Scan"):
+                    hazards.append(
+                        f"Exchange SinglePartition ({nid}) over raw {child}"
+                    )
+                    break
+                j += 1
+    return hazards

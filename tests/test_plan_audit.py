@@ -193,6 +193,52 @@ def test_domain_mixture_broadcasts_quotas(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_single_partition_detector_fires_on_bad_shape(spark):
+    """Canary: the hazard detector must flag the textbook scale-killer —
+    an unpartitioned row_number over a raw table scan — so the registry
+    sweep below can't pass vacuously."""
+    from pyspark.sql import Window, functions as F
+
+    from key_resource_table_extractor_spark.plans.audit import (
+        single_partition_hazards,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    bad = orders.withColumn(
+        "seq", F.row_number().over(Window.orderBy(F.desc("o_totalprice")))
+    )
+    assert single_partition_hazards(bad)
+    # and the fixed query is clean
+    assert not single_partition_hazards(
+        relational.q_seq_ids_global(spark, SF_DIR)
+    )
+
+
+def test_no_query_moves_a_raw_scan_through_one_task(spark):
+    """Registry-wide sweep: no query's physical plan may contain an
+    Exchange SinglePartition fed by a raw file scan (no aggregate/limit
+    in between). Post-aggregation unpartitioned windows — e.g.
+    monthly_order_trend's lag over the ~months-cardinality table — are
+    bounded below and pass without an allowlist; anything new that drags
+    an unbounded table through one task fails here by name."""
+    import __spark_entry__ as entry
+    from key_resource_table_extractor_spark.plans.audit import (
+        single_partition_hazards,
+    )
+
+    # queries whose bounded input the detector cannot see statically —
+    # none today; add (name, reason) pairs only with a justifying comment
+    allow: dict[str, str] = {}
+    offenders = {}
+    for name, fn in entry.queries().items():
+        if name in allow:
+            continue
+        hazards = single_partition_hazards(fn(spark, SF_DIR))
+        if hazards:
+            offenders[name] = hazards
+    assert not offenders, offenders
+
+
 def test_ivf_assignment_is_map_side_arrow(spark):
     """IVF corpus assignment is ONE MapInArrow over the scan: zero
     exchanges, no literal centroid trees in the plan (the round-5
