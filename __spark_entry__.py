@@ -154,20 +154,42 @@ D_ROTATION = [
 ]
 
 
+_ROTATION_LOGGED = False
+
+
 def _rotation_index() -> int:
-    """Round parity from the driver's committed correctness files: the
-    max N of CORRECTNESS_r{N}.json, mod len(ROWS_ONLY_ROTATION). Files
-    only change between rounds, so the index is stable within one."""
+    """Round parity for the gate-window rotation. `KRT_ROTATION_INDEX`
+    overrides explicitly; otherwise derive from the driver's committed
+    correctness files (max N of CORRECTNESS_r{N}.json, mod the rotation
+    length — files only change between rounds, so the index is stable
+    within one). The resolved index and its source are logged once per
+    process so every gate record is attributable to a window
+    composition even if local round artifacts differ from the clone."""
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    ns = [
-        int(mm.group(1))
-        for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-        if (mm := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
-    ]
-    return (max(ns) if ns else 0) % len(ROWS_ONLY_ROTATION)
+    global _ROTATION_LOGGED
+    env = os.environ.get("KRT_ROTATION_INDEX")
+    if env is not None:
+        ri, src = int(env) % len(ROWS_ONLY_ROTATION), f"env={env}"
+    else:
+        here = os.path.dirname(os.path.abspath(__file__))
+        ns = [
+            int(mm.group(1))
+            for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+            if (mm := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+        ]
+        ri = (max(ns) if ns else 0) % len(ROWS_ONLY_ROTATION)
+        src = f"max(CORRECTNESS_r*)={max(ns) if ns else 0}"
+    if not _ROTATION_LOGGED:
+        _ROTATION_LOGGED = True
+        print(
+            f"[krt-spark] gate rotation index {ri} ({src}); "
+            f"promoted={ROWS_ONLY_ROTATION[ri]} "
+            f"rotated_out={D_ROTATION[ri]}",
+            file=sys.stderr,
+        )
+    return ri
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -521,14 +521,27 @@ def _write_bucket_count_marker(spark, output_path: str, n_buckets: int) -> None:
     p = jvm.org.apache.hadoop.fs.Path(f"{output_path}/{_BUCKET_COUNT_MARKER}")
     fs = p.getFileSystem(conf)
     prev = _read_bucket_count_marker(fs, jvm, output_path)
+    root = jvm.org.apache.hadoop.fs.Path(output_path)
     if prev is not None:
         if prev != int(n_buckets):
+            ids = _bucket_ids(fs, root) if fs.exists(root) else []
+            if not ids:
+                # data-free stub: a run launched with this K died before
+                # its first bucket commit, so nothing constrains the hash
+                # yet — adopt the corrected K instead of permanently
+                # refusing it
+                out = fs.create(p, True)
+                try:
+                    out.writeBytes(str(int(n_buckets)))
+                finally:
+                    out.close()
+                return
             raise ValueError(
-                f"{output_path} was written with n_buckets={prev}; "
-                f"refusing to continue it with n_buckets={n_buckets}"
+                f"{output_path} was written with n_buckets={prev} "
+                f"({len(ids)} bucket(s) committed); refusing to continue "
+                f"it with n_buckets={n_buckets}"
             )
         return  # unchanged: don't touch the marker's mtime
-    root = jvm.org.apache.hadoop.fs.Path(output_path)
     if fs.exists(root):
         ids = _bucket_ids(fs, root)
         if ids and ids[-1] + 1 > int(n_buckets):
@@ -675,12 +688,18 @@ def compact_bucket(
     _recover_bucket(fs, jvm, output_path, bucket)
     if not fs.exists(path):
         raise FileNotFoundError(bucket_dir)
-    summary = fs.getContentSummary(path)
-    total = int(summary.getLength())
-    n_before = sum(
-        1 for f in fs.listStatus(path)
-        if f.getPath().getName().endswith(".parquet")
-    )
+
+    def _parquet_stats(p):
+        n, size = 0, 0
+        for f in fs.listStatus(p):
+            if f.getPath().getName().endswith(".parquet"):
+                n += 1
+                size += int(f.getLen())
+        return n, size
+
+    # size from the parquet files themselves — getContentSummary would
+    # also count checksum/marker siblings and overstate the target split
+    n_before, total = _parquet_stats(path)
     n_files = max(1, -(-total // target_bytes))
     df = spark.read.parquet(bucket_dir)
     staging = jvm.org.apache.hadoop.fs.Path(
@@ -688,11 +707,14 @@ def compact_bucket(
     )
     df.repartition(n_files).write.mode("overwrite").parquet(str(staging))
     _swap_bucket_dir(fs, jvm, output_path, bucket, staging)
+    # recount post-swap: repartition(n) emits FEWER files than n when the
+    # bucket has fewer rows, so the computed target is not the truth
+    n_after, _ = _parquet_stats(path)
     return {
         "bucket": bucket,
         "bytes": total,
         "files_before": n_before,
-        "files_after": n_files,
+        "files_after": n_after,
     }
 
 

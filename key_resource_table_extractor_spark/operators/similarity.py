@@ -512,7 +512,12 @@ def ann_ivf_topk(
     probe_rows = []
     for r in qrows:
         v = np.asarray(r["embedding"], dtype=np.float64)
-        order = np.argsort(-(U @ v), kind="stable")[:nprobe]
+        # ties at the nprobe cutoff break toward the HIGHEST cid — the
+        # same convention as the assignment argmax (ivf_assign_arrow),
+        # so a query always probes the list its exact duplicates were
+        # assigned to when duplicate centroids tie exactly
+        scores = U @ v
+        order = np.lexsort((-np.arange(U.shape[0]), -scores))[:nprobe]
         for cid in order:
             probe_rows.append(
                 (int(r["vec_id"]), int(cid), [float(x) for x in v])

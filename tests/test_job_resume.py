@@ -208,6 +208,38 @@ def test_rerun_with_different_n_buckets_refused(spark, tmp_path):
             spark, inp, out, str(tmp_path / "cp"), run_id="k3", n_buckets=2,
             partitions_per_bucket=2,
         )
+    # the refusal message names how much data constrains the K
+    os.rename(
+        os.path.join(str(tmp_path), "out"), os.path.join(str(tmp_path), "o2")
+    )
+    out2 = str(tmp_path / "o2")
+    job._write_bucket_count_marker(spark, out2, 4)
+    with pytest.raises(ValueError, match=r"4 bucket\(s\) committed"):
+        job.run_extraction(
+            spark, inp, out2, str(tmp_path / "cp"), run_id="k4", n_buckets=8,
+            partitions_per_bucket=2,
+        )
+
+
+def test_mistyped_k_on_data_free_output_is_recoverable(spark, tmp_path):
+    """A run launched with a mistyped K that dies before its first bucket
+    commit leaves only the marker behind; nothing constrains the hash
+    yet, so a relaunch with the corrected K must adopt it and run instead
+    of permanently refusing the output path."""
+    from key_resource_table_extractor_spark import job
+
+    out = str(tmp_path / "out")
+    # simulate the dead run: marker persisted, zero buckets committed
+    job._write_bucket_count_marker(spark, out, 40)
+    inp = job.synthesize_spans(spark, 20, seed=42)
+    s = job.run_extraction(
+        spark, inp, out, str(tmp_path / "cp"), run_id="fix", n_buckets=4,
+        partitions_per_bucket=2,
+    )
+    assert s["buckets_run"] == 4
+    with open(f"{out}/_krt_n_buckets") as fh:
+        assert fh.read().strip() == "4"
+    assert job.read_output(spark, out).count() > 0
 
 
 def test_cli_maintenance_surface(spark, tmp_path):
@@ -333,11 +365,36 @@ def test_compaction_preserves_rows_and_shrinks_files(spark, tmp_path):
         for f in os.listdir(os.path.join(out, b)) if f.endswith(".parquet")
     )
     assert n_parquet_after == 3 < n_parquet_before  # tiny corpus → 1/bucket
+    # files_after reports what actually landed in the live dirs, not the
+    # computed repartition target
+    assert sum(s["files_after"] for s in stats) == n_parquet_after
     # idempotent: a second pass keeps the same file count and rows
     job.compact_output(spark, out)
     assert sorted(
         tuple(r) for r in job.read_output(spark, out).collect()
     ) == before
+
+
+def test_compact_reports_actual_files_when_fewer_than_target(spark, tmp_path):
+    """A bucket with fewer rows than the computed file target emits fewer
+    parquet files than repartition(n) asked for; the summary must report
+    the real count (an operator sizing a 100 TB compaction trusts it)."""
+    import os
+
+    from key_resource_table_extractor_spark import job
+
+    out = str(tmp_path / "out")
+    spark.range(3).coalesce(1).write.parquet(f"{out}/bucket=0")
+    # ~hundreds of bytes / 64 per file → target well above the 3 rows
+    stats = job.compact_bucket(spark, out, 0, target_bytes=64)
+    n_live = sum(
+        1 for f in os.listdir(f"{out}/bucket=0") if f.endswith(".parquet")
+    )
+    computed_target = max(1, -(-stats["bytes"] // 64))
+    assert stats["files_after"] == n_live < computed_target
+    assert stats["files_before"] == 1
+    assert [r["id"] for r in spark.read.parquet(f"{out}/bucket=0")
+            .orderBy("id").collect()] == [0, 1, 2]
 
 
 def test_delete_docs_is_bucket_pruned(spark, tmp_path):

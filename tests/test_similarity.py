@@ -532,3 +532,19 @@ def test_ivf_assignment_tie_break_with_duplicate_centroids(spark):
     assert a_arrow == a_expr
     # all ties → everyone lands in the HIGHEST cid
     assert {cid for _v, cid in a_arrow} == {len(cents) - 1}
+
+
+def test_ivf_probe_tie_break_matches_assignment(spark):
+    """Query probe lists must break exact centroid-score ties toward the
+    HIGHEST cid — the assignment convention. With identical vectors every
+    centroid ties; assignment puts the whole corpus in the highest cid,
+    so an nprobe=1 query that probed the LOWEST cid instead would scan an
+    empty inverted list and return zero neighbors for its own duplicates."""
+    rows = [(vid, [1.0, 0.0, 0.0, 0.0]) for vid in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.ann_ivf_topk(emb, n_queries=3, k=5, nlist=6, nprobe=1)
+    per_query = {}
+    for r in got.collect():
+        per_query.setdefault(r["query_id"], []).append(r["cand_id"])
+    assert set(per_query) == {0, 1, 2}
+    assert all(len(c) == 5 for c in per_query.values()), per_query
