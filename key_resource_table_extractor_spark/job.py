@@ -754,11 +754,16 @@ def compact_output(
 def delete_docs(
     spark: SparkSession,
     output_path: str,
-    doc_ids: list[str],
+    doc_ids: list[str] | DataFrame,
     n_buckets: int | None = None,
 ) -> dict:
     """Remove the given documents from a committed bucketed output (the
     right-to-be-forgotten / bad-doc backfill a long-lived corpus needs).
+
+    ``doc_ids`` is either a small driver-side list (RTBF of hundreds) or
+    a DataFrame with a ``doc_id`` column (a policy sweep deleting 10^7
+    docs supplies its id table directly — the ids never materialize on
+    the driver; only the affected-bucket id list does, bounded by K).
 
     Bucket-pruned: the bucket of every target id is recomputed with the
     SAME hash the writer used (pmod(xxhash64(doc_id), K)). K is inferred
@@ -770,7 +775,9 @@ def delete_docs(
     the bucket: before/after row counts ride the write as ``Observation``
     metrics (the ``run_extraction`` pattern), and the swap reuses the
     checked retire/commit discipline of ``compact_bucket``; untouched
-    buckets keep their files byte-identical.
+    buckets keep their files byte-identical. The anti-join broadcasts
+    only the ids hashed INTO the bucket being rewritten, so the per-
+    bucket broadcast stays ~|ids|/K even for mass deletes.
     """
     from pyspark.sql import Observation
 
@@ -782,37 +789,49 @@ def delete_docs(
         raise FileNotFoundError(f"no such output: {output_path}")
     if n_buckets is None:
         n_buckets = _writer_bucket_count(fs, jvm, root, output_path)
-    ids = spark.createDataFrame(
-        [(d,) for d in doc_ids], "doc_id string"
-    ).withColumn(
+    if isinstance(doc_ids, DataFrame):
+        ids_src = doc_ids.select(F.col("doc_id").cast("string"))
+    else:
+        ids_src = spark.createDataFrame(
+            [(d,) for d in doc_ids], "doc_id string"
+        )
+    ids = ids_src.withColumn(
         "__bucket",
         F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"),
     )
-    affected = sorted(
-        r["__bucket"] for r in ids.select("__bucket").distinct().collect()
-    )
-    removed = 0
-    rewritten = 0
-    for b in affected:
-        _recover_bucket(fs, jvm, output_path, b)
-        bucket_dir = f"{output_path}/bucket={b}"
-        if not fs.exists(jvm.org.apache.hadoop.fs.Path(bucket_dir)):
-            continue  # explicit-K partial output: nothing written there yet
-        obs_in = Observation(f"del_in_{b}_{uuid.uuid4().hex[:6]}")
-        obs_out = Observation(f"del_out_{b}_{uuid.uuid4().hex[:6]}")
-        keep = (
-            spark.read.parquet(bucket_dir)
-            .observe(obs_in, F.count(F.lit(1)).alias("n"))
-            .join(F.broadcast(ids.select("doc_id")), "doc_id", "left_anti")
-            .observe(obs_out, F.count(F.lit(1)).alias("n"))
+    # cached: the per-bucket loop re-reads its own bucket's slice, and a
+    # DataFrame id source would otherwise rescan per affected bucket
+    ids = ids.persist()
+    try:
+        affected = sorted(
+            r["__bucket"]
+            for r in ids.select("__bucket").distinct().collect()
         )
-        staging = jvm.org.apache.hadoop.fs.Path(
-            f"{output_path}.staging/bucket={b}.deleting"
-        )
-        keep.write.mode("overwrite").parquet(str(staging))
-        _swap_bucket_dir(fs, jvm, output_path, b, staging)
-        removed += int(obs_in.get["n"]) - int(obs_out.get["n"])
-        rewritten += 1
+        removed = 0
+        rewritten = 0
+        for b in affected:
+            _recover_bucket(fs, jvm, output_path, b)
+            bucket_dir = f"{output_path}/bucket={b}"
+            if not fs.exists(jvm.org.apache.hadoop.fs.Path(bucket_dir)):
+                continue  # explicit-K partial: nothing written there yet
+            obs_in = Observation(f"del_in_{b}_{uuid.uuid4().hex[:6]}")
+            obs_out = Observation(f"del_out_{b}_{uuid.uuid4().hex[:6]}")
+            bucket_ids = ids.where(F.col("__bucket") == b).select("doc_id")
+            keep = (
+                spark.read.parquet(bucket_dir)
+                .observe(obs_in, F.count(F.lit(1)).alias("n"))
+                .join(F.broadcast(bucket_ids), "doc_id", "left_anti")
+                .observe(obs_out, F.count(F.lit(1)).alias("n"))
+            )
+            staging = jvm.org.apache.hadoop.fs.Path(
+                f"{output_path}.staging/bucket={b}.deleting"
+            )
+            keep.write.mode("overwrite").parquet(str(staging))
+            _swap_bucket_dir(fs, jvm, output_path, b, staging)
+            removed += int(obs_in.get["n"]) - int(obs_out.get["n"])
+            rewritten += 1
+    finally:
+        ids.unpersist()
     return {
         "buckets_rewritten": rewritten,
         "buckets_total": n_buckets,

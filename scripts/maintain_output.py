@@ -10,6 +10,8 @@ Examples:
         --doc-ids doc_42_0000004,doc_42_0000011
     python scripts/maintain_output.py delete --out /tmp/krt_out \
         --doc-ids-file bad_docs.txt
+    python scripts/maintain_output.py delete --out /tmp/krt_out \
+        --doc-ids-parquet policy_sweep_ids.parquet
     python scripts/maintain_output.py upsert --out /tmp/krt_out \
         --input changed_docs.parquet --output-mode spans
 
@@ -58,6 +60,9 @@ def main(argv=None):
                    help="comma-separated document ids")
     d.add_argument("--doc-ids-file", default=None,
                    help="file with one document id per line")
+    d.add_argument("--doc-ids-parquet", default=None,
+                   help="parquet path with a doc_id column (mass deletes: "
+                        "the ids stay distributed, never on the driver)")
     d.add_argument("--n-buckets", type=int, default=None,
                    help="writer's bucket count (only needed for a "
                         "pre-marker partial output)")
@@ -96,9 +101,13 @@ def main(argv=None):
                 "files_after": sum(s["files_after"] for s in stats),
             }
         elif args.cmd == "delete":
-            if bool(args.doc_ids) == bool(args.doc_ids_file):
-                p.error("delete needs exactly one of --doc-ids / --doc-ids-file")
-            if args.doc_ids:
+            srcs = [args.doc_ids, args.doc_ids_file, args.doc_ids_parquet]
+            if sum(bool(s) for s in srcs) != 1:
+                p.error("delete needs exactly one of --doc-ids / "
+                        "--doc-ids-file / --doc-ids-parquet")
+            if args.doc_ids_parquet:
+                ids = spark.read.parquet(args.doc_ids_parquet)
+            elif args.doc_ids:
                 ids = [x.strip() for x in args.doc_ids.split(",") if x.strip()]
             else:
                 with open(args.doc_ids_file) as fh:

@@ -279,6 +279,13 @@ def test_cli_maintenance_surface(spark, tmp_path):
     gone = "doc_42_0000007"
     s = run("delete", "--out", out, "--doc-ids", gone)
     assert s["cmd"] == "delete" and s["rows_removed"] > 0
+    gone_pq = "doc_42_0000011"
+    spark.createDataFrame(
+        [(gone_pq,)], "doc_id string"
+    ).write.parquet(str(tmp_path / "del_ids"))
+    s = run("delete", "--out", out, "--doc-ids-parquet",
+            str(tmp_path / "del_ids"))
+    assert s["cmd"] == "delete" and s["rows_removed"] > 0
     s = run("upsert", "--out", out, "--input", str(tmp_path / "changed"))
     assert s["cmd"] == "upsert" and s["docs_upserted"] == 1
     s = run("compact", "--out", out, "--target-mb", "256")
@@ -290,6 +297,7 @@ def test_cli_maintenance_surface(spark, tmp_path):
 
     got = job.read_output(spark, out)
     assert got.where(F.col("doc_id") == gone).count() == 0
+    assert got.where(F.col("doc_id") == gone_pq).count() == 0
     from key_resource_table_extractor_spark import oracle
     rows = [
         tuple(r)[1:] for r in got.where(F.col("doc_id") == changed)
@@ -455,6 +463,135 @@ def test_delete_docs_is_bucket_pruned(spark, tmp_path):
                 if f.endswith(".parquet")
             )
             assert now == files, b
+
+
+def test_delete_docs_via_dataframe_id_table(spark, tmp_path):
+    """The mass-delete overload: ids arrive as a parquet-backed DataFrame
+    (never materialized on the driver), affected buckets derive by
+    aggregation, and the same bucket-local rewrite applies — verified at
+    two bucket counts with untouched buckets byte-identical."""
+    import os
+
+    from key_resource_table_extractor_spark import job
+
+    for k, n_docs in ((3, 60), (7, 90)):
+        out = str(tmp_path / f"out{k}")
+        job.run_extraction(
+            spark, job.synthesize_spans(spark, n_docs, seed=42), out,
+            str(tmp_path / f"cp{k}"), run_id=f"dfk{k}", n_buckets=k,
+            partitions_per_bucket=2,
+        )
+        all_docs = sorted(
+            r["doc_id"]
+            for r in job.read_output(spark, out).select("doc_id")
+            .distinct().collect()
+        )
+        targets = all_docs[:4]
+        ids_path = str(tmp_path / f"ids{k}.parquet")
+        spark.createDataFrame(
+            [(t,) for t in targets], "doc_id string"
+        ).write.parquet(ids_path)
+        mtimes = {
+            b: sorted(
+                (f, os.path.getmtime(os.path.join(out, b, f)))
+                for f in os.listdir(os.path.join(out, b))
+                if f.endswith(".parquet")
+            )
+            for b in os.listdir(out) if b.startswith("bucket=")
+        }
+        stats = job.delete_docs(spark, out, spark.read.parquet(ids_path))
+        assert stats["rows_removed"] > 0
+        assert stats["buckets_total"] == k
+        survivors = {
+            r["doc_id"]
+            for r in job.read_output(spark, out).select("doc_id").collect()
+        }
+        assert survivors == set(all_docs) - set(targets)
+        from pyspark.sql import functions as FF
+        target_buckets = {
+            int(r["b"]) for r in spark.read.parquet(ids_path).select(
+                FF.pmod(FF.xxhash64("doc_id"), FF.lit(k))
+                .cast("int").alias("b")
+            ).collect()
+        }
+        assert stats["buckets_rewritten"] == len(target_buckets)
+        for b, files in mtimes.items():
+            if int(b.split("=")[1]) not in target_buckets:
+                now = sorted(
+                    (f, os.path.getmtime(os.path.join(out, b, f)))
+                    for f in os.listdir(os.path.join(out, b))
+                    if f.endswith(".parquet")
+                )
+                assert now == files, (k, b)
+
+
+def test_maintenance_round_trip_equals_fresh_run(spark, tmp_path):
+    """The composed invariant an operator actually relies on: after
+    compact → delete → upsert on a committed output, the surviving corpus
+    equals a FRESH full extraction of the equivalent input — row-set
+    equality on the data contract, not just counts. (The per-op tests
+    verify each step in isolation; this pins their composition.)"""
+    from key_resource_table_extractor_spark import job, synth
+    from key_resource_table_extractor_spark.schemas import DOCUMENT_SPANS_SCHEMA
+
+    n_docs, k = 80, 4
+    all_ids = [f"doc_42_{i:07d}" for i in range(n_docs)]
+    deleted = all_ids[5:10]
+    changed = all_ids[20:23]
+    new_ids = ["doc_99_0000000", "doc_99_0000001"]
+
+    out = str(tmp_path / "out")
+    job.run_extraction(
+        spark, job.synthesize_spans(spark, n_docs, seed=42), out,
+        str(tmp_path / "cp"), run_id="rt", n_buckets=k,
+        partitions_per_bucket=2,
+    )
+    job.compact_output(spark, out)
+    job.delete_docs(spark, out, deleted)
+
+    def spans_rows(ids, variant):
+        return [
+            (d, [
+                {"kind": kk, "text": t, "media_ref": m, "offset": o}
+                for (kk, t, m, o) in synth.generate_doc(d, variant)
+            ])
+            for d in ids
+        ]
+
+    upsert_input = spark.createDataFrame(
+        spans_rows(changed, 9) + spans_rows(new_ids, 9),
+        DOCUMENT_SPANS_SCHEMA,
+    )
+    job.upsert_docs(spark, upsert_input, out)
+
+    # the equivalent input: survivors at the original variant, changed +
+    # new docs at the upserted variant
+    survivors = [d for d in all_ids if d not in set(deleted) | set(changed)]
+    fresh_input = spark.createDataFrame(
+        spans_rows(survivors, 42) + spans_rows(changed, 9)
+        + spans_rows(new_ids, 9),
+        DOCUMENT_SPANS_SCHEMA,
+    )
+    fresh_out = str(tmp_path / "fresh")
+    job.run_extraction(
+        spark, fresh_input, fresh_out, str(tmp_path / "cp2"), run_id="rt2",
+        n_buckets=k, partitions_per_bucket=2,
+    )
+
+    maintained = sorted(
+        tuple(r) for r in job.read_output(spark, out).collect()
+    )
+    fresh = sorted(
+        tuple(r) for r in job.read_output(spark, fresh_out).collect()
+    )
+    assert maintained == fresh
+    # some docs legitimately extract zero data spans (no relevant table),
+    # so the output doc set is a subset of the input — but never contains
+    # a deleted doc, and is non-trivial
+    got_docs = {t[0] for t in maintained}
+    assert got_docs <= set(survivors + changed + new_ids)
+    assert not got_docs & set(deleted)
+    assert len(got_docs) > n_docs // 2
 
 
 def test_upsert_docs_replaces_and_inserts(spark, tmp_path):
