@@ -443,14 +443,19 @@ def _extract_doc_regions(
         grp_fullspan = (~grp_has_multi) & (grp_nonempty == 1)
         grp_rowspan = None
         if with_extents:
-            # col-0 rowspan carriage: a run of covered rows extends the
-            # group ABOVE it — but only a plain DATA row may carry the
-            # claim. A header group or a full-width divider preceding an
+            # rowspan carriage: a run of covered rows extends the group
+            # ABOVE it — but only a plain DATA row may carry a claim. A
+            # header group or a full-width divider preceding an
             # anchor-less full row is not evidence of a spanning cell
             # (the reference derives rowspans from spanning-cell boxes
             # over DATA row boxes, table_model.py:239-264); cancelling
             # there falls back to the flat documented-deviation shape.
-            grp_rowspan = np.ones(ngroups, dtype=np.int64)
+            # Per (group, col): col 0 spans the whole covered run (the
+            # covered rows are anchor-less by construction); a carrier
+            # cell in column c>0 spans the PREFIX of the run over which
+            # the covered rows stay empty in c — the same fold evidence,
+            # position-agnostic like the reference's spanning-cell boxes.
+            grp_rowspan = np.ones((ngroups, ncols), dtype=np.int64)
             if cont_full is not None and cont_full.any():
                 covered = np.zeros(ngroups, dtype=bool)
                 covered[gid[cont_full]] = True  # groups a covered row starts
@@ -460,8 +465,18 @@ def _extract_doc_regions(
                     if covered[g]:
                         run += 1
                     else:
-                        if not grp_is_hdr[g] and not grp_fullspan[g]:
-                            grp_rowspan[g] = 1 + run
+                        if run and not grp_is_hdr[g] and not grp_fullspan[g]:
+                            grp_rowspan[g, 0] = 1 + run
+                            for c in range(1, ncols):
+                                if folded[g, c] == "":
+                                    continue
+                                pre = 0
+                                for j in range(1, run + 1):
+                                    if folded[g + j, c] != "":
+                                        break
+                                    pre += 1
+                                if pre:
+                                    grp_rowspan[g, c] = 1 + pre
                         run = 0
         # boundary media (emitted once, offset order)
         lo_off = int(line_off[lo_i]) - spec.MEDIA_BOUNDARY_SLACK
@@ -494,9 +509,7 @@ def _extract_doc_regions(
                     if with_extents:
                         out["cfirst"].append(int(folded_f[g, c]))
                         out["clast"].append(int(folded_l[g, c]))
-                        out["rowspan"].append(
-                            int(grp_rowspan[g]) if c == 0 else 1
-                        )
+                        out["rowspan"].append(int(grp_rowspan[g, c]))
             else:
                 j = int(ev_payload[ix])
                 out["doc_id"].append(doc_id)
@@ -762,24 +775,30 @@ def extract_nested_batch(
       colspan 1 (char-space limitation, documented deviation).
 
     ROWSPAN: the reference predicts ``rowspan > 1`` from DETR
-    spanning-cell BOXES whose y-extent covers several row boxes
-    (table_model.py:239-264). Under ``row_model="anchor"`` +
-    ``with_colspans=True`` we recover the col-0 case from the anchor
-    model's own fold evidence: an anchor-less source line with >= 2
-    non-empty cells is a full detected row sharing its anchor cell (a
-    wrap fragment continues exactly ONE column), so it stays a separate
-    logical row and the anchor's col-0 cell carries ``rowspan = 1 + run``
-    over the covered rows — the char-space twin of a spanning cell's box
-    covering the rows below it. Remaining documented deviation: a
-    rowspan cell in a NON-anchor column (its covered rows still have
-    their col-0 anchor) renders byte-identically to genuinely empty
-    cells and is emitted flat, as is every rowspan under the votes
-    model, where fold groups ARE single wrapped rows and ``rowspan =
-    group size`` would mislabel them. The scoring side is rowspan-AWARE
-    throughout: gold ingest expands rowspan occupancy
-    (sources/gold_json.py) and the GriTS grids honor it
-    (eval/grits_like.py), so both recovered and unrecoverable rowspans
-    are compared fairly (tests/test_colspan_rowspan.py)."""
+    spanning-cell BOXES whose y-extent covers several row boxes,
+    position-agnostically (table_model.py:239-264). Under
+    ``row_model="anchor"`` + ``with_colspans=True`` we recover the
+    covered-run cases from the anchor model's own fold evidence: an
+    anchor-less source line with >= 2 non-empty cells is a full detected
+    row sharing its anchor cell (a wrap fragment continues exactly ONE
+    column), so it stays a separate logical row and the anchor's col-0
+    cell carries ``rowspan = 1 + run`` over the covered rows — the
+    char-space twin of a spanning cell's box covering the rows below it.
+    A carrier cell in a column c > 0 whose covered rows stay EMPTY in c
+    is the same evidence and carries ``rowspan = 1 + prefix`` over the
+    empty prefix of the run; ``_apply_rowspan_occupancy`` verifies every
+    claim against rendered-cell boundaries and cancels inconsistent
+    ones. Remaining documented deviation: a rowspan whose covered rows
+    keep their OWN col-0 anchors (no fold evidence — the covered rows
+    are ordinary detected rows whose cell in the spanning column is
+    empty) renders byte-identically to genuinely empty cells and is
+    emitted flat, as is every rowspan under the votes model, where fold
+    groups ARE single wrapped rows and ``rowspan = group size`` would
+    mislabel them. The scoring side is rowspan-AWARE throughout: gold
+    ingest expands rowspan occupancy (sources/gold_json.py) and the
+    GriTS grids honor it (eval/grits_like.py), so both recovered and
+    unrecoverable rowspans are compared fairly
+    (tests/test_colspan_rowspan.py)."""
     if len(pdf) == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="string"),
                              "result": pd.Series(dtype="string")})
@@ -809,8 +828,10 @@ def extract_nested_batch(
             extents[(*key, out["col"][i])] = (
                 out["cfirst"][i], out["clast"][i]
             )
-            if out["col"][i] == 0 and out["rowspan"][i] > 1:
-                rowspans[key] = out["rowspan"][i]
+            if out["rowspan"][i] > 1:
+                rowspans.setdefault(key, {})[out["col"][i]] = (
+                    out["rowspan"][i]
+                )
     rows = []
     for doc_id in sorted(docs):
         pages = []
@@ -828,7 +849,7 @@ def extract_nested_batch(
                         cells,
                         [extents.get((doc_id, t, r, c), (c, c)) for c in cols],
                         fullspan.get((doc_id, t, r), False),
-                        rowspans.get((doc_id, t, r), 1),
+                        rowspans.get((doc_id, t, r)),
                     )
                 )
             if with_colspans:
@@ -842,56 +863,81 @@ def extract_nested_batch(
 def _apply_rowspan_occupancy(grid: list[list[dict]]) -> list[list[dict]]:
     """HTML occupancy for recovered rowspans (in place): a carrier cell
     with ``rowspan = k`` occupies its columns in the k-1 rows below, so
-    those rows must OMIT their covered leading filler cells (the gold-JSON
-    convention, reference html_table_converter.py:60-72 / grits.py:420-450
-    — covered positions are absent from the row, later cells shift past
-    them). If any covered position is non-empty or misaligned (a carrier
-    whose colspan absorption conflicts with covered-row content), the
-    rowspan claim is CANCELLED rather than emitting inconsistent
-    occupancy."""
-    for i, row in enumerate(grid):
-        if not row:
-            continue
-        k = row[0].get("rowspan", 1)
-        if k <= 1:
-            continue
-        span_cols = row[0]["colspan"]
-        covered = grid[i + 1:i + k]
-        trimmed: list[list[dict]] = []
-        ok = len(covered) == k - 1
-        for cr in covered:
-            w = j = 0
-            while ok and j < len(cr) and w < span_cols:
-                if cr[j]["content"] != "":
+    those rows must OMIT their covered cells at those positions (the
+    gold-JSON convention, reference html_table_converter.py:60-72 /
+    grits.py:420-450 — covered positions are absent from the row, later
+    cells shift past them). Claims are position-agnostic — a carrier may
+    sit at any column, and one row may carry several (reference spanning
+    cells are position-agnostic, table_model.py:239-264). Each claim is
+    verified independently: if its covered window is non-empty, holds a
+    competing rowspan, or is misaligned with the covered row's rendered
+    cell boundaries (a carrier whose colspan absorption conflicts with
+    covered-row content), THAT claim is cancelled rather than emitting
+    inconsistent occupancy."""
+    # rendered cells annotated with their absolute column starts; removals
+    # below keep survivors' absolute positions, which is exactly the
+    # occupancy shift later claims must see
+    pos_rows: list[list[list]] = []
+    for row in grid:
+        s, entries = 0, []
+        for cell in row:
+            entries.append([s, cell])
+            s += cell["colspan"]
+        pos_rows.append(entries)
+    for i, entries in enumerate(pos_rows):
+        for entry in entries:
+            start, cell = entry
+            k = cell.get("rowspan", 1)
+            if k <= 1:
+                continue
+            w = cell["colspan"]
+            ok = i + k <= len(pos_rows)
+            removals: list[tuple[list, list]] = []
+            for r in range(i + 1, i + k):
+                if not ok:
+                    break
+                cov = [
+                    e for e in pos_rows[r] if start <= e[0] < start + w
+                ]
+                tiled = sum(e[1]["colspan"] for e in cov)
+                if (
+                    not cov
+                    or cov[0][0] != start
+                    or tiled != w
+                    or any(e[1]["content"] != "" for e in cov)
+                    or any(e[1].get("rowspan", 1) > 1 for e in cov)
+                ):
                     ok = False
-                w += cr[j]["colspan"]
-                j += 1
-            if w != span_cols:
-                ok = False
-            if not ok:
-                break
-            trimmed.append(cr[j:])
-        if ok:
-            for off, tr in enumerate(trimmed):
-                grid[i + 1 + off] = tr
-        else:
-            grid[i] = [
-                {c: v for c, v in row[0].items() if c != "rowspan"}
-            ] + row[1:]
+                    break
+                removals.append((pos_rows[r], cov))
+            if ok:
+                for row_entries, cov in removals:
+                    for e in cov:
+                        row_entries.remove(e)
+            else:
+                entry[1] = {
+                    c: v for c, v in cell.items() if c != "rowspan"
+                }
+    for i, entries in enumerate(pos_rows):
+        grid[i] = [cell for _s, cell in entries]
     return grid
 
 
 def _cells_with_colspans(
-    cells: list, exts: list, is_fullspan: bool, rowspan: int = 1
+    cells: list, exts: list, is_fullspan: bool,
+    rowspans: dict[int, int] | None = None,
 ) -> list[dict]:
     """Render one logical row into gold-JSON ``{"content", "colspan"}`` cells
     using the cells' physical column extents (see ``extract_nested_batch``).
     Claiming is left-to-right; a span absorbs only free EMPTY neighbors
     within its measured extent, so two competing spans never overlap.
-    ``rowspan > 1`` (anchor-model col-0 recovery) is carried on the cell
-    covering column 0, matching the gold-JSON attribute shape (reference
-    html_table_converter.py:60-72)."""
+    ``rowspans`` maps a logical CONTENT column to its recovered rowspan
+    (anchor-model recovery, position-agnostic like the reference's
+    spanning cells, table_model.py:239-264): each claim rides on the
+    rendered cell whose content sits at that column, matching the
+    gold-JSON attribute shape (reference html_table_converter.py:60-72)."""
     ncols = len(cells)
+    rowspans = rowspans or {}
     if is_fullspan:
         content_idx = next(
             (c for c in range(ncols) if cells[c] != ""), 0
@@ -900,8 +946,8 @@ def _cells_with_colspans(
         row_cells = [{"content": "", "colspan": 1}] * cf + [
             {"content": cells[content_idx], "colspan": ncols - cf}
         ]
-        if rowspan > 1:
-            row_cells[0] = {**row_cells[0], "rowspan": rowspan}
+        if rowspans.get(0, 1) > 1:
+            row_cells[0] = {**row_cells[0], "rowspan": rowspans[0]}
         return row_cells
     owner = list(range(ncols))
     for c in range(ncols):
@@ -923,10 +969,11 @@ def _cells_with_colspans(
         k = 1
         while c + k < ncols and owner[c + k] == o:
             k += 1
-        row_cells.append({"content": cells[o], "colspan": k})
+        cell = {"content": cells[o], "colspan": k}
+        if rowspans.get(o, 1) > 1:
+            cell["rowspan"] = rowspans[o]
+        row_cells.append(cell)
         c += k
-    if rowspan > 1 and row_cells:
-        row_cells[0] = {**row_cells[0], "rowspan": rowspan}
     return row_cells
 
 

@@ -271,6 +271,103 @@ def test_anchor_rowspan_skips_wrap_fragments():
     assert foo[1]["content"] == "Abcam extra"  # wrap folded as before
 
 
+ROWSPAN_MID_TBL = {
+    # spanning cells in BOTH the anchor column and a mid column over the
+    # same covered run — the position-agnostic shape the reference
+    # predicts from spanning-cell boxes (table_model.py:239-264)
+    "name": "rowspan_mid",
+    "rows": [
+        [_cell("REAGENT and RESOURCE"), _cell("SOURCE"), _cell("NOTE"),
+         _cell("IDENTIFIER")],
+        [_cell("Antibody pair kit", rowspan=2), _cell("anti-X mouse"),
+         _cell("shared note", rowspan=2), _cell("RRID:AB_11111")],
+        [_cell("anti-Y rabbit"), _cell("RRID:AB_22222")],
+        [_cell("Bar protein"), _cell("Sigma"), _cell("note B"),
+         _cell("RRID:SCR_004422")],
+    ],
+}
+
+
+def test_mid_column_rowspan_gold_round_trip():
+    """VERDICT r5 case: a spanning cell in a NON-anchor column over the
+    same covered run the col-0 path uses — covered detected rows stay
+    empty in that column, so the carrier cell gains rowspan=k and the
+    covered rows omit the covered position. Scored to full identity by
+    the rowspan-aware GriTS grids, including topology."""
+    from key_resource_table_extractor_spark.eval.grits_like import (
+        grits_topology,
+    )
+
+    nested = extract_nested_batch(
+        _pdf_of(ROWSPAN_MID_TBL), row_model="anchor", with_colspans=True
+    )
+    pred = _nested_rows(nested)[1:]  # drop the prepended title row
+    assert pred[1][0] == {
+        "content": "Antibody pair kit", "colspan": 1, "rowspan": 2
+    }
+    assert pred[1][2] == {
+        "content": "shared note", "colspan": 1, "rowspan": 2
+    }
+    # covered row omits BOTH covered positions (cols 0 and 2)
+    assert [(c["content"], c["colspan"]) for c in pred[2]] == [
+        ("anti-Y rabbit", 1), ("RRID:AB_22222", 1)
+    ]
+    gold = ROWSPAN_MID_TBL["rows"]
+    assert grits_content(pred, gold) == (1.0, 1.0, 1.0)
+    assert grits_factored(pred, gold) == (1.0, 1.0, 1.0, 1.0)
+    assert grits_topology(pred, gold) == (1.0, 1.0, 1.0)
+
+
+def test_mid_column_rowspan_prefix_of_run():
+    """A mid-column carrier spans only the PREFIX of the covered run over
+    which the column stays empty; the col-0 anchor still spans the whole
+    run. Full identity against the equivalent gold table."""
+    tbl = {
+        "name": "rowspan_prefix",
+        "rows": [
+            [_cell("REAGENT and RESOURCE"), _cell("SOURCE"), _cell("NOTE"),
+             _cell("IDENTIFIER")],
+            [_cell("Oligo set", rowspan=3), _cell("fwd GGTACC"),
+             _cell("batch 7", rowspan=2), _cell("RRID:AB_1")],
+            [_cell("rev AAGCTT"), _cell("RRID:AB_2")],
+            [_cell("probe TTGGCC"), _cell("batch 9"), _cell("RRID:AB_3")],
+            [_cell("Bar protein"), _cell("Sigma"), _cell("note B"),
+             _cell("RRID:SCR_44")],
+        ],
+    }
+    pred = _nested_rows(
+        extract_nested_batch(_pdf_of(tbl), row_model="anchor",
+                             with_colspans=True)
+    )[1:]
+    assert pred[1][0]["rowspan"] == 3      # anchor spans the whole run
+    assert pred[1][2]["rowspan"] == 2      # mid column spans its prefix
+    assert len(pred[2]) == 2               # cols 0 and 2 both covered
+    assert len(pred[3]) == 3               # only col 0 covered
+    assert pred[3][0]["content"] == "probe TTGGCC"
+    assert grits_factored(pred, tbl["rows"]) == (1.0, 1.0, 1.0, 1.0)
+
+
+def test_rowspan_claims_cancel_independently():
+    """Occupancy verification is per-claim: a consistent mid-column claim
+    survives while a conflicting claim in the same row is cancelled."""
+    from key_resource_table_extractor_spark.extractor.pipeline import (
+        _apply_rowspan_occupancy,
+    )
+
+    grid = [
+        [{"content": "A", "colspan": 1, "rowspan": 2},
+         {"content": "x", "colspan": 1},
+         {"content": "N", "colspan": 1, "rowspan": 2}],
+        [{"content": "B", "colspan": 1},  # conflict: covered pos non-empty
+         {"content": "y", "colspan": 1},
+         {"content": "", "colspan": 1}],  # consistent: empty, removed
+    ]
+    out = _apply_rowspan_occupancy([r[:] for r in grid])
+    assert "rowspan" not in out[0][0]            # col-0 claim cancelled
+    assert out[0][2].get("rowspan") == 2          # mid claim survives
+    assert [(c["content"],) for c in out[1]] == [("B",), ("y",)]
+
+
 def test_non_anchor_rowspan_still_flat():
     """A rowspan in a NON-col-0 column (covered rows keep their anchors)
     has no fold evidence — emitted flat, scored fairly by the
@@ -335,6 +432,55 @@ def test_rowspan_property_round_trip():
         assert c == (1.0, 1.0, 1.0), (trial, pred, rows)
         assert t == (1.0, 1.0, 1.0, 1.0), trial
         assert topo == (1.0, 1.0, 1.0), trial
+
+
+def test_mid_rowspan_property_round_trip():
+    """Property: random 4-column gold tables with col-0 rowspans AND
+    independent mid-column rowspan prefixes round-trip exactly through
+    render → anchor extraction → nested colspans, scoring full identity
+    on all three GriTS grids."""
+    import random
+
+    from key_resource_table_extractor_spark.eval.grits_like import (
+        grits_topology,
+    )
+
+    rng = random.Random(7)
+    words = ["Abcam", "Sigma", "probe", "vector", "kit", "assay"]
+    for trial in range(40):
+        rows = [[_cell("REAGENT and RESOURCE"), _cell("SOURCE"),
+                 _cell("NOTE"), _cell("IDENTIFIER")]]
+        r_i = 0
+        while r_i < rng.randint(2, 6):
+            span = rng.choice([1, 2, 2, 3])
+            # mid-column span: a prefix of the covered run (possibly all)
+            mid = rng.randint(1, span) if span > 1 else 1
+            name = f"{rng.choice(words).capitalize()} item{trial}_{r_i}"
+            note = f"note {rng.choice(words)} {r_i}"
+            lead = [
+                _cell(name, rowspan=span) if span > 1 else _cell(name),
+                _cell(f"{rng.choice(words)} v{r_i}"),
+                _cell(note, rowspan=mid) if mid > 1 else _cell(note),
+                _cell(f"RRID:AB_{rng.randint(1, 99999):05d}"),
+            ]
+            rows.append(lead)
+            for s in range(1, span):
+                covered = [
+                    _cell(f"{rng.choice(words)} v{r_i}_{s}"),
+                    _cell(f"RRID:AB_{rng.randint(1, 99999):05d}"),
+                ]
+                if s >= mid:  # past the mid span: NOTE has its own cell
+                    covered.insert(1, _cell(f"note tail {r_i}_{s}"))
+                rows.append(covered)
+            r_i += span
+        tbl = {"name": f"mprop{trial}", "rows": rows}
+        pred = _nested_rows(
+            extract_nested_batch(_pdf_of(tbl), row_model="anchor",
+                                 with_colspans=True)
+        )[1:]
+        assert grits_content(pred, rows) == (1.0, 1.0, 1.0), (trial, pred)
+        assert grits_factored(pred, rows) == (1.0, 1.0, 1.0, 1.0), trial
+        assert grits_topology(pred, rows) == (1.0, 1.0, 1.0), trial
 
 
 def test_rowspan_cancelled_on_conflicting_occupancy():
