@@ -169,9 +169,15 @@ def _rotation_index() -> int:
     import re
 
     global _ROTATION_LOGGED
-    env = os.environ.get("KRT_ROTATION_INDEX")
-    if env is not None:
-        ri, src = int(env) % len(ROWS_ONLY_ROTATION), f"env={env}"
+    env = os.environ.get("KRT_ROTATION_INDEX", "").strip()
+    if env:
+        try:
+            ri = int(env) % len(ROWS_ONLY_ROTATION)
+        except ValueError:
+            raise ValueError(
+                f"KRT_ROTATION_INDEX must be an integer, got {env!r}"
+            ) from None
+        src = f"env={env}"
     else:
         here = os.path.dirname(os.path.abspath(__file__))
         ns = [

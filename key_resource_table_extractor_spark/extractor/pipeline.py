@@ -814,7 +814,7 @@ def extract_nested_batch(
     docs: dict[str, dict] = {}
     fullspan: dict[tuple, bool] = {}
     extents: dict[tuple, tuple] = {}
-    rowspans: dict[tuple, int] = {}
+    rowspans: dict[tuple, dict[int, int]] = {}  # row key -> {col: span}
     for i in range(len(out["doc_id"])):
         if out["kind"][i] != spec.KIND_TEXT:
             continue

@@ -476,6 +476,18 @@ def read_output(
 _BUCKET_DIR_RE = re.compile(r"^bucket=(\d+)$")
 
 
+def _parquet_dir_stats(fs, path) -> tuple[int, int]:
+    """(file count, total bytes) of the .parquet files directly under
+    ``path`` — the one counting policy shared by compaction sizing and
+    output_status so the two can't drift."""
+    n, size = 0, 0
+    for f in fs.listStatus(path):
+        if f.getPath().getName().endswith(".parquet"):
+            n += 1
+            size += int(f.getLen())
+    return n, size
+
+
 def _bucket_ids(fs, root) -> list[int]:
     """Bucket ids committed under an output root (exact-name match only)."""
     if not fs.exists(root):
@@ -525,11 +537,25 @@ def _write_bucket_count_marker(spark, output_path: str, n_buckets: int) -> None:
     if prev is not None:
         if prev != int(n_buckets):
             ids = _bucket_ids(fs, root) if fs.exists(root) else []
-            if not ids:
+            staging_root = jvm.org.apache.hadoop.fs.Path(
+                f"{output_path}.staging"
+            )
+            staged = (
+                sorted(
+                    f.getPath().getName()
+                    for f in fs.listStatus(staging_root)
+                    if f.getPath().getName().startswith("bucket=")
+                )
+                if fs.exists(staging_root)
+                else []
+            )
+            if not ids and not staged:
                 # data-free stub: a run launched with this K died before
                 # its first bucket commit, so nothing constrains the hash
                 # yet — adopt the corrected K instead of permanently
-                # refusing it
+                # refusing it. An interrupted-swap backup or staged copy
+                # under .staging IS data hashed at the old K, so its
+                # presence blocks adoption above.
                 out = fs.create(p, True)
                 try:
                     out.writeBytes(str(int(n_buckets)))
@@ -538,8 +564,9 @@ def _write_bucket_count_marker(spark, output_path: str, n_buckets: int) -> None:
                 return
             raise ValueError(
                 f"{output_path} was written with n_buckets={prev} "
-                f"({len(ids)} bucket(s) committed); refusing to continue "
-                f"it with n_buckets={n_buckets}"
+                f"({len(ids)} bucket(s) committed"
+                + (f", {len(staged)} staging leftover(s)" if staged else "")
+                + f"); refusing to continue it with n_buckets={n_buckets}"
             )
         return  # unchanged: don't touch the marker's mtime
     if fs.exists(root):
@@ -637,10 +664,9 @@ def output_status(spark: SparkSession, output_path: str) -> dict:
     n_bytes = 0
     for b in ids:
         p = jvm.org.apache.hadoop.fs.Path(f"{output_path}/bucket={b}")
-        for f in fs.listStatus(p):
-            if f.getPath().getName().endswith(".parquet"):
-                n_files += 1
-                n_bytes += int(f.getLen())
+        n, size = _parquet_dir_stats(fs, p)
+        n_files += n
+        n_bytes += size
     staging_root = jvm.org.apache.hadoop.fs.Path(f"{output_path}.staging")
     pending = []
     if fs.exists(staging_root):
@@ -689,17 +715,9 @@ def compact_bucket(
     if not fs.exists(path):
         raise FileNotFoundError(bucket_dir)
 
-    def _parquet_stats(p):
-        n, size = 0, 0
-        for f in fs.listStatus(p):
-            if f.getPath().getName().endswith(".parquet"):
-                n += 1
-                size += int(f.getLen())
-        return n, size
-
     # size from the parquet files themselves — getContentSummary would
     # also count checksum/marker siblings and overstate the target split
-    n_before, total = _parquet_stats(path)
+    n_before, total = _parquet_dir_stats(fs, path)
     n_files = max(1, -(-total // target_bytes))
     df = spark.read.parquet(bucket_dir)
     staging = jvm.org.apache.hadoop.fs.Path(
@@ -709,7 +727,7 @@ def compact_bucket(
     _swap_bucket_dir(fs, jvm, output_path, bucket, staging)
     # recount post-swap: repartition(n) emits FEWER files than n when the
     # bucket has fewer rows, so the computed target is not the truth
-    n_after, _ = _parquet_stats(path)
+    n_after, _ = _parquet_dir_stats(fs, path)
     return {
         "bucket": bucket,
         "bytes": total,

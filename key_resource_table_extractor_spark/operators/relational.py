@@ -642,7 +642,9 @@ def q_monthly_order_trend(spark, sf_dir):
     )
     # Unpartitioned window, but over the POST-aggregation month table
     # (~tens of rows at any scale) — benign, unlike a window over a raw
-    # scan. The plan-audit sweep allowlists this query for that reason.
+    # scan. The plan-audit sweep's hazard detector sees the bounding
+    # HashAggregate below the exchange and passes this without any
+    # allowlist entry.
     w = Window.orderBy("month")
     return (
         monthly.withColumn(

@@ -69,7 +69,12 @@ def _parse_plan_trees(plan: str) -> list[list[tuple[int, int, str]]]:
     """Parse formatted-explain tree blocks into (depth, node_id, name)."""
     import re
 
-    node_re = re.compile(r"^([\s:+|-]*)([A-Za-z][\w .]*?)\s*\((\d+)\)\s*$")
+    # prefix includes '*' (whole-stage-codegen marker on non-AQE plans);
+    # a trailing ", Statistics(...)" rides AQE final-plan query stages
+    node_re = re.compile(
+        r"^([\s:+|*-]*)([A-Za-z][\w .]*?)\s*\((\d+)\)"
+        r"(?:,\s*Statistics\(.*\))?\s*$"
+    )
     trees: list[list[tuple[int, int, str]]] = []
     current: list[tuple[int, int, str]] = []
     for line in plan.splitlines():

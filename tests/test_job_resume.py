@@ -242,6 +242,37 @@ def test_mistyped_k_on_data_free_output_is_recoverable(spark, tmp_path):
     assert job.read_output(spark, out).count() > 0
 
 
+def test_staging_backup_blocks_k_adoption(spark, tmp_path):
+    """An interrupted swap can leave the ONLY copy of a bucket under the
+    .staging root (live dir retired, staged copy not yet committed). The
+    output root then has a marker and zero bucket dirs — but it is NOT
+    data-free, so a relaunch with a different K must refuse, not adopt."""
+    import os
+    import shutil
+
+    from key_resource_table_extractor_spark import job
+
+    out = str(tmp_path / "out")
+    job.run_extraction(
+        spark, job.synthesize_spans(spark, 10, seed=42), out,
+        str(tmp_path / "cp"), run_id="swp", n_buckets=1,
+        partitions_per_bucket=2,
+    )
+    # simulate the retire-crash window: live bucket moved to .staging
+    os.makedirs(f"{out}.staging", exist_ok=True)
+    shutil.move(f"{out}/bucket=0", f"{out}.staging/bucket=0.old")
+    with pytest.raises(ValueError, match="staging leftover"):
+        job.run_extraction(
+            spark, job.synthesize_spans(spark, 10, seed=42), out,
+            str(tmp_path / "cp"), run_id="swp2", n_buckets=4,
+            partitions_per_bucket=2,
+        )
+    # same K still heals via _recover_bucket on the next maintenance op
+    stats = job.compact_output(spark, out)
+    assert [s["bucket"] for s in stats] == [0]
+    assert job.read_output(spark, out).count() > 0
+
+
 def test_cli_maintenance_surface(spark, tmp_path):
     """scripts/maintain_output.py routes delete/upsert/compact to the job
     maintenance ops and reports their summaries."""

@@ -208,6 +208,18 @@ def test_single_partition_detector_fires_on_bad_shape(spark):
         "seq", F.row_number().over(Window.orderBy(F.desc("o_totalprice")))
     )
     assert single_partition_hazards(bad)
+    # the detector must also see through non-AQE formatted plans, whose
+    # tree lines carry the '* ' whole-stage-codegen prefix
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        bad2 = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+            "seq",
+            F.row_number().over(Window.orderBy(F.desc("o_totalprice"))),
+        )
+        assert single_partition_hazards(bad2)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
     # and the fixed query is clean
     assert not single_partition_hazards(
         relational.q_seq_ids_global(spark, SF_DIR)

@@ -137,6 +137,20 @@ def test_gate_window_covers_flagship_and_all_oracled(entry_mod):
     assert len(names[: entry_mod.DRIVER_GATE_WINDOW]) == 50
 
 
+def test_rotation_index_env_override(entry_mod, monkeypatch):
+    """KRT_ROTATION_INDEX overrides the artifact-derived index; empty
+    behaves as unset; garbage fails loudly naming the variable."""
+    monkeypatch.delenv("KRT_ROTATION_INDEX", raising=False)
+    base = entry_mod._rotation_index()
+    monkeypatch.setenv("KRT_ROTATION_INDEX", "1")
+    assert entry_mod._rotation_index() == 1
+    monkeypatch.setenv("KRT_ROTATION_INDEX", " ")
+    assert entry_mod._rotation_index() == base
+    monkeypatch.setenv("KRT_ROTATION_INDEX", "x")
+    with pytest.raises(ValueError, match="KRT_ROTATION_INDEX"):
+        entry_mod._rotation_index()
+
+
 def test_repetition_stats_exact_across_partitionings(spark, duck):
     """The round-3 red row: avg over raw doubles was summation-order
     unstable. The quantized-integer aggregate must match DuckDB EXACTLY
