@@ -774,6 +774,7 @@ def delete_docs(
     output_path: str,
     doc_ids: list[str] | DataFrame,
     n_buckets: int | None = None,
+    dry_run: bool = False,
 ) -> dict:
     """Remove the given documents from a committed bucketed output (the
     right-to-be-forgotten / bad-doc backfill a long-lived corpus needs).
@@ -796,6 +797,13 @@ def delete_docs(
     buckets keep their files byte-identical. The anti-join broadcasts
     only the ids hashed INTO the bucket being rewritten, so the per-
     bucket broadcast stays ~|ids|/K even for mass deletes.
+
+    ``dry_run=True`` reports what the real run would do — affected
+    buckets and rows to remove per bucket — in ONE read-only job (no
+    recovery, no writes, untouched mtimes): the sanity check an operator
+    wants before pointing a 10^7-id policy sweep at a live corpus. A
+    bucket currently retired by an interrupted swap is counted from its
+    ``.staging`` backup, matching what the healed real run would see.
     """
     from pyspark.sql import Observation
 
@@ -825,6 +833,41 @@ def delete_docs(
             r["__bucket"]
             for r in ids.select("__bucket").distinct().collect()
         )
+        if dry_run:
+            P = jvm.org.apache.hadoop.fs.Path
+            paths = []
+            for b in affected:
+                live = f"{output_path}/bucket={b}"
+                backup = f"{output_path}.staging/bucket={b}.old"
+                if fs.exists(P(live)):
+                    paths.append(live)
+                elif fs.exists(P(backup)):
+                    paths.append(backup)
+            by_bucket: dict[int, int] = {}
+            if paths:
+                hits = (
+                    spark.read.parquet(*paths)
+                    .join(ids.select("doc_id"), "doc_id", "left_semi")
+                    .groupBy(
+                        F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
+                        .cast("int")
+                        .alias("b")
+                    )
+                    .count()
+                    .collect()
+                )
+                by_bucket = {int(r["b"]): int(r["count"]) for r in hits}
+            return {
+                "dry_run": True,
+                "buckets_total": n_buckets,
+                "buckets_affected": [
+                    b for b in affected if by_bucket.get(b)
+                ],
+                "rows_to_remove": sum(by_bucket.values()),
+                "rows_by_bucket": [
+                    [b, by_bucket[b]] for b in sorted(by_bucket)
+                ],
+            }
         removed = 0
         rewritten = 0
         for b in affected:

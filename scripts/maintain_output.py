@@ -11,7 +11,7 @@ Examples:
     python scripts/maintain_output.py delete --out /tmp/krt_out \
         --doc-ids-file bad_docs.txt
     python scripts/maintain_output.py delete --out /tmp/krt_out \
-        --doc-ids-parquet policy_sweep_ids.parquet
+        --doc-ids-parquet policy_sweep_ids.parquet --dry-run
     python scripts/maintain_output.py upsert --out /tmp/krt_out \
         --input changed_docs.parquet --output-mode spans
 
@@ -66,6 +66,9 @@ def main(argv=None):
     d.add_argument("--n-buckets", type=int, default=None,
                    help="writer's bucket count (only needed for a "
                         "pre-marker partial output)")
+    d.add_argument("--dry-run", action="store_true",
+                   help="report affected buckets and rows to remove in "
+                        "one read-only pass; no rewrites")
 
     u = sub.add_parser("upsert", help="re-extract and replace changed docs")
     u.add_argument("--out", required=True)
@@ -113,7 +116,8 @@ def main(argv=None):
                 with open(args.doc_ids_file) as fh:
                     ids = [ln.strip() for ln in fh if ln.strip()]
             summary = {"cmd": "delete"} | job.delete_docs(
-                spark, args.out, ids, n_buckets=args.n_buckets
+                spark, args.out, ids, n_buckets=args.n_buckets,
+                dry_run=args.dry_run,
             )
         else:
             summary = {"cmd": "upsert"} | job.upsert_docs(

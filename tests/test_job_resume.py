@@ -496,6 +496,45 @@ def test_delete_docs_is_bucket_pruned(spark, tmp_path):
             assert now == files, b
 
 
+def test_delete_dry_run_predicts_real_run_and_touches_nothing(spark, tmp_path):
+    """dry_run reports exactly the buckets and row counts the real delete
+    then removes, without touching a single file (all mtimes identical),
+    and ignores ids absent from the corpus."""
+    import os
+
+    from key_resource_table_extractor_spark import job
+
+    out = str(tmp_path / "out")
+    job.run_extraction(
+        spark, job.synthesize_spans(spark, 60, seed=42), out,
+        str(tmp_path / "cp"), run_id="dry", n_buckets=4,
+        partitions_per_bucket=2,
+    )
+    docs = sorted(
+        r["doc_id"] for r in job.read_output(spark, out)
+        .select("doc_id").distinct().collect()
+    )
+    targets = docs[:3] + ["doc_42_9999999"]  # one id not in the corpus
+    mtimes = {
+        (b, f): os.path.getmtime(os.path.join(out, b, f))
+        for b in os.listdir(out) if b.startswith("bucket=")
+        for f in os.listdir(os.path.join(out, b))
+    }
+    dry = job.delete_docs(spark, out, targets, dry_run=True)
+    assert dry["dry_run"] is True and dry["buckets_total"] == 4
+    assert dry["rows_to_remove"] > 0
+    assert sum(n for _b, n in dry["rows_by_bucket"]) == dry["rows_to_remove"]
+    after = {
+        (b, f): os.path.getmtime(os.path.join(out, b, f))
+        for b in os.listdir(out) if b.startswith("bucket=")
+        for f in os.listdir(os.path.join(out, b))
+    }
+    assert after == mtimes  # read-only: nothing rewritten
+    real = job.delete_docs(spark, out, targets)
+    assert real["rows_removed"] == dry["rows_to_remove"]
+    assert real["buckets_rewritten"] >= len(dry["buckets_affected"])
+
+
 def test_delete_docs_via_dataframe_id_table(spark, tmp_path):
     """The mass-delete overload: ids arrive as a parquet-backed DataFrame
     (never materialized on the driver), affected buckets derive by
