@@ -943,12 +943,12 @@ def _cells_with_colspans(
             (c for c in range(ncols) if cells[c] != ""), 0
         )
         cf = min(max(exts[content_idx][0], 0), content_idx)
-        row_cells = [{"content": "", "colspan": 1}] * cf + [
+        # fullspan (divider) groups are excluded from carrying rowspan
+        # claims at claim-generation time (_extract_doc_regions), so
+        # ``rowspans`` is always empty here
+        return [{"content": "", "colspan": 1}] * cf + [
             {"content": cells[content_idx], "colspan": ncols - cf}
         ]
-        if rowspans.get(0, 1) > 1:
-            row_cells[0] = {**row_cells[0], "rowspan": rowspans[0]}
-        return row_cells
     owner = list(range(ncols))
     for c in range(ncols):
         if cells[c] == "":

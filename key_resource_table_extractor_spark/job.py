@@ -518,6 +518,14 @@ def _read_bucket_count_marker(fs, jvm, output_path: str) -> int | None:
     return int(txt.strip())
 
 
+def _put_marker(fs, p, n_buckets: int) -> None:
+    out = fs.create(p, True)
+    try:
+        out.writeBytes(str(int(n_buckets)))
+    finally:
+        out.close()
+
+
 def _write_bucket_count_marker(spark, output_path: str, n_buckets: int) -> None:
     """Persist the run's K; refuse to continue an output written with a
     different K (resuming with a mismatched ``n_buckets`` would place the
@@ -556,11 +564,7 @@ def _write_bucket_count_marker(spark, output_path: str, n_buckets: int) -> None:
                 # refusing it. An interrupted-swap backup or staged copy
                 # under .staging IS data hashed at the old K, so its
                 # presence blocks adoption above.
-                out = fs.create(p, True)
-                try:
-                    out.writeBytes(str(int(n_buckets)))
-                finally:
-                    out.close()
+                _put_marker(fs, p, n_buckets)
                 return
             raise ValueError(
                 f"{output_path} was written with n_buckets={prev} "
@@ -577,11 +581,7 @@ def _write_bucket_count_marker(spark, output_path: str, n_buckets: int) -> None:
                 f"n_buckets>{ids[-1]}; refusing to continue it with "
                 f"n_buckets={n_buckets}"
             )
-    out = fs.create(p, True)
-    try:
-        out.writeBytes(str(int(n_buckets)))
-    finally:
-        out.close()
+    _put_marker(fs, p, n_buckets)
 
 
 def _writer_bucket_count(fs, jvm, root, output_path: str) -> int:
@@ -799,11 +799,16 @@ def delete_docs(
     bucket broadcast stays ~|ids|/K even for mass deletes.
 
     ``dry_run=True`` reports what the real run would do — affected
-    buckets and rows to remove per bucket — in ONE read-only job (no
-    recovery, no writes, untouched mtimes): the sanity check an operator
-    wants before pointing a 10^7-id policy sweep at a live corpus. A
-    bucket currently retired by an interrupted swap is counted from its
-    ``.staging`` backup, matching what the healed real run would see.
+    buckets and rows to remove per bucket — read-only (two actions: the
+    bucket-list aggregation and the semi-join count; no recovery, no
+    writes, untouched mtimes): the sanity check an operator wants before
+    pointing a 10^7-id policy sweep at a live corpus. A bucket currently
+    retired by an interrupted swap is counted from its ``.staging``
+    backup, matching what the healed real run would see. The real run
+    swaps ONLY buckets that actually lose rows (a staged copy with zero
+    removals is discarded), so ``buckets_rewritten`` equals the dry
+    run's ``buckets_affected`` and every other bucket — including a
+    hash-affected one holding no matching rows — stays byte-identical.
     """
     from pyspark.sql import Observation
 
@@ -888,8 +893,16 @@ def delete_docs(
                 f"{output_path}.staging/bucket={b}.deleting"
             )
             keep.write.mode("overwrite").parquet(str(staging))
+            removed_b = int(obs_in.get["n"]) - int(obs_out.get["n"])
+            if removed_b == 0:
+                # a hash-affected bucket with no matching rows (id absent
+                # from the corpus): discard the staged copy and leave the
+                # live directory byte-identical — keeps the real run
+                # consistent with dry_run's buckets_affected report
+                fs.delete(staging, True)
+                continue
             _swap_bucket_dir(fs, jvm, output_path, b, staging)
-            removed += int(obs_in.get["n"]) - int(obs_out.get["n"])
+            removed += removed_b
             rewritten += 1
     finally:
         ids.unpersist()

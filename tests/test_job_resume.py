@@ -532,7 +532,12 @@ def test_delete_dry_run_predicts_real_run_and_touches_nothing(spark, tmp_path):
     assert after == mtimes  # read-only: nothing rewritten
     real = job.delete_docs(spark, out, targets)
     assert real["rows_removed"] == dry["rows_to_remove"]
-    assert real["buckets_rewritten"] >= len(dry["buckets_affected"])
+    # the real run swaps EXACTLY the dry run's affected buckets: a
+    # hash-affected bucket with zero matching rows keeps its files
+    assert real["buckets_rewritten"] == len(dry["buckets_affected"])
+    for (b, f), m in mtimes.items():
+        if int(b.split("=")[1]) not in set(dry["buckets_affected"]):
+            assert os.path.getmtime(os.path.join(out, b, f)) == m, (b, f)
 
 
 def test_delete_docs_via_dataframe_id_table(spark, tmp_path):
