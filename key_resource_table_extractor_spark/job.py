@@ -920,6 +920,7 @@ def upsert_docs(
     use_arrow: bool = True,
     output_mode: str = "spans",
     n_buckets: int | None = None,
+    dry_run: bool = False,
     **extract_kw,
 ) -> dict:
     """Re-extract the documents present in ``input_df`` (a spans table of
@@ -945,6 +946,11 @@ def upsert_docs(
     table is untouched and only ``kind in DATA_KINDS`` rows are written
     for the replaced docs (per-batch ``stats`` rows describe original
     run batches, which a partial rewrite cannot meaningfully amend).
+
+    ``dry_run=True`` is the read-only pre-flight (``delete_docs``
+    twin): no extraction, no writes — reports the affected buckets, how
+    many input docs REPLACE existing rows (and how many stale rows those
+    hold) versus how many are NEW to the corpus.
     """
     from pyspark.sql.types import IntegerType, StructField, StructType
 
@@ -957,12 +963,67 @@ def upsert_docs(
     if n_buckets is None:
         n_buckets = _writer_bucket_count(fs, jvm, root, output_path)
     if input_df.isEmpty():  # mirror delete_docs([]) — a committed no-op
-        return {
+        summary = {
             "buckets_rewritten": 0,
             "buckets_total": n_buckets,
             "docs_upserted": 0,
         }
+        if dry_run:
+            summary = {
+                "dry_run": True, "buckets_total": n_buckets,
+                "buckets_affected": [], "docs_replacing": 0,
+                "docs_new": 0, "rows_to_replace": 0,
+            }
+        return summary
     bucket_of = F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    if dry_run:
+        P = jvm.org.apache.hadoop.fs.Path
+        ids = (
+            input_df.select("doc_id").distinct()
+            .withColumn("__bucket", bucket_of)
+            .persist()
+        )
+        try:
+            n_input = ids.count()
+            affected = sorted(
+                r["__bucket"]
+                for r in ids.select("__bucket").distinct().collect()
+            )
+            paths = []
+            for b in affected:
+                live = f"{output_path}/bucket={b}"
+                backup = f"{output_path}.staging/bucket={b}.old"
+                if fs.exists(P(live)):
+                    paths.append(live)
+                elif fs.exists(P(backup)):
+                    paths.append(backup)
+            docs_replacing = 0
+            rows_to_replace = 0
+            if paths:
+                # docs never cross buckets (bucket = f(doc_id)), so the
+                # per-bucket distinct-doc counts sum to the global one
+                hits = (
+                    spark.read.parquet(*paths)
+                    .join(ids.select("doc_id"), "doc_id", "left_semi")
+                    .groupBy(bucket_of.alias("b"))
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.countDistinct("doc_id").alias("d"),
+                    )
+                    .collect()
+                )
+                docs_replacing = sum(int(r["d"]) for r in hits)
+                rows_to_replace = sum(int(r["n"]) for r in hits)
+            return {
+                "dry_run": True,
+                "buckets_total": n_buckets,
+                "buckets_affected": affected,
+                "docs_replacing": docs_replacing,
+                "docs_new": n_input - docs_replacing,
+                "rows_to_replace": rows_to_replace,
+            }
+        finally:
+            ids.unpersist()
     if output_mode == "spans":
         new_rows = data_spans(extract(input_df, use_arrow=use_arrow, **extract_kw))
     elif output_mode in ("nested", "nested-colspans"):

@@ -82,6 +82,10 @@ def main(argv=None):
     u.add_argument("--excepted-lines", default=None)
     u.add_argument("--excepted-pages", default=None)
     u.add_argument("--n-buckets", type=int, default=None)
+    u.add_argument("--dry-run", action="store_true",
+                   help="read-only pre-flight: affected buckets, docs "
+                        "replacing vs new, stale rows to replace; no "
+                        "extraction, no writes")
 
     args = p.parse_args(argv)
 
@@ -126,6 +130,7 @@ def main(argv=None):
                 args.out,
                 output_mode=args.output_mode,
                 n_buckets=args.n_buckets,
+                dry_run=args.dry_run,
                 row_model=args.row_model,
                 gap_min_spaces=args.gap_min_spaces,
                 excepted_lines=_ints(args.excepted_lines),

@@ -540,6 +540,63 @@ def test_delete_dry_run_predicts_real_run_and_touches_nothing(spark, tmp_path):
             assert os.path.getmtime(os.path.join(out, b, f)) == m, (b, f)
 
 
+def test_upsert_dry_run_reports_replace_new_split(spark, tmp_path):
+    """Upsert dry-run: read-only (all mtimes untouched, no extraction),
+    reporting how many input docs replace existing rows — and how many
+    stale rows those hold — versus docs new to the corpus."""
+    import os
+
+    from key_resource_table_extractor_spark import job, synth
+    from key_resource_table_extractor_spark.schemas import DOCUMENT_SPANS_SCHEMA
+
+    out = str(tmp_path / "out")
+    job.run_extraction(
+        spark, job.synthesize_spans(spark, 40, seed=42), out,
+        str(tmp_path / "cp"), run_id="udry", n_buckets=3,
+        partitions_per_bucket=2,
+    )
+    changed = ["doc_42_0000004", "doc_42_0000008"]
+    new = ["doc_77_0000000"]
+    upsert_input = spark.createDataFrame(
+        [(d, [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for (k, t, m, o) in synth.generate_doc(d, 9)
+        ]) for d in changed + new],
+        DOCUMENT_SPANS_SCHEMA,
+    )
+    stale_rows = (
+        spark.read.parquet(out)
+        .where(F.col("doc_id").isin(changed)).count()
+    )
+    mtimes = {
+        (b, f): os.path.getmtime(os.path.join(out, b, f))
+        for b in os.listdir(out) if b.startswith("bucket=")
+        for f in os.listdir(os.path.join(out, b))
+    }
+    dry = job.upsert_docs(spark, upsert_input, out, dry_run=True)
+    assert dry["dry_run"] is True and dry["buckets_total"] == 3
+    assert dry["docs_replacing"] == 2 and dry["docs_new"] == 1
+    assert dry["rows_to_replace"] == stale_rows > 0
+    assert dry["buckets_affected"]
+    after = {
+        (b, f): os.path.getmtime(os.path.join(out, b, f))
+        for b in os.listdir(out) if b.startswith("bucket=")
+        for f in os.listdir(os.path.join(out, b))
+    }
+    assert after == mtimes
+    # empty input stays a no-op in dry-run shape too
+    empty = job.upsert_docs(
+        spark,
+        spark.createDataFrame([], DOCUMENT_SPANS_SCHEMA),
+        out,
+        dry_run=True,
+    )
+    assert empty == {
+        "dry_run": True, "buckets_total": 3, "buckets_affected": [],
+        "docs_replacing": 0, "docs_new": 0, "rows_to_replace": 0,
+    }
+
+
 def test_delete_docs_via_dataframe_id_table(spark, tmp_path):
     """The mass-delete overload: ids arrive as a parquet-backed DataFrame
     (never materialized on the driver), affected buckets derive by
