@@ -327,6 +327,7 @@ def run_extraction(
     row_model: str | None = None,
     gap_min_spaces: int | None = None,
     output_mode: str = "spans",
+    adopt_k: bool = False,
 ) -> dict:
     """Run (or resume) the extraction over ``input_df``.
 
@@ -354,6 +355,11 @@ def run_extraction(
 
     ``fail_after_bucket`` injects a crash after that bucket commits — used by
     the resume test.
+
+    ``adopt_k`` opts into correcting a mistyped ``n_buckets`` on a
+    data-free output (see ``_write_bucket_count_marker``); the default
+    refuses ANY K mismatch, which is the fail-safe when another driver
+    might still be computing its first bucket at the old K.
     """
     from pyspark.sql import Observation
 
@@ -361,7 +367,7 @@ def run_extraction(
     partitions_per_bucket = (
         partitions_per_bucket or spark.sparkContext.defaultParallelism
     )
-    _write_bucket_count_marker(spark, output_path, n_buckets)
+    _write_bucket_count_marker(spark, output_path, n_buckets, adopt_k=adopt_k)
     done = completed_buckets(spark, checkpoint_path, run_id)
     bucketed = input_df.withColumn(
         "__bucket",
@@ -526,7 +532,9 @@ def _put_marker(fs, p, n_buckets: int) -> None:
         out.close()
 
 
-def _write_bucket_count_marker(spark, output_path: str, n_buckets: int) -> None:
+def _write_bucket_count_marker(
+    spark, output_path: str, n_buckets: int, adopt_k: bool = False
+) -> None:
     """Persist the run's K; refuse to continue an output written with a
     different K (resuming with a mismatched ``n_buckets`` would place the
     remaining buckets' docs under a different hash than the committed
@@ -535,7 +543,17 @@ def _write_bucket_count_marker(spark, output_path: str, n_buckets: int) -> None:
     the caller's K becomes authoritative: any directory outside
     ``range(n_buckets)`` proves a mismatch. (A legacy PARTIAL output
     whose committed ids all fit inside a smaller wrong K is undetectable
-    — ship the marker with the original run to close that.)"""
+    — ship the marker with the original run to close that.)
+
+    ``adopt_k=True`` opts into overwriting the marker of a DATA-FREE
+    output (marker present, zero bucket dirs, zero ``.staging``
+    leftovers) — the mistyped-K recovery path: a run launched with the
+    wrong K that died before its first bucket commit constrains nothing.
+    Adoption is NOT the default because the same filesystem state is
+    indistinguishable from a live concurrent driver still computing its
+    first bucket at the old K; silently overwriting its marker would
+    interleave mixed-K buckets. The operator asserts "no other driver is
+    running" by passing the flag (CLI ``--adopt-k``)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(f"{output_path}/{_BUCKET_COUNT_MARKER}")
@@ -557,20 +575,27 @@ def _write_bucket_count_marker(spark, output_path: str, n_buckets: int) -> None:
                 if fs.exists(staging_root)
                 else []
             )
-            if not ids and not staged:
+            if not ids and not staged and adopt_k:
                 # data-free stub: a run launched with this K died before
                 # its first bucket commit, so nothing constrains the hash
-                # yet — adopt the corrected K instead of permanently
-                # refusing it. An interrupted-swap backup or staged copy
-                # under .staging IS data hashed at the old K, so its
-                # presence blocks adoption above.
+                # yet — the operator opted in (adopt_k) to correcting it.
+                # An interrupted-swap backup or staged copy under
+                # .staging IS data hashed at the old K, so its presence
+                # blocks adoption above.
                 _put_marker(fs, p, n_buckets)
                 return
+            hint = (
+                "; data-free output — pass adopt_k=True (--adopt-k) to "
+                "correct a mistyped K IF no other driver is running it"
+                if not ids and not staged
+                else ""
+            )
             raise ValueError(
                 f"{output_path} was written with n_buckets={prev} "
                 f"({len(ids)} bucket(s) committed"
                 + (f", {len(staged)} staging leftover(s)" if staged else "")
                 + f"); refusing to continue it with n_buckets={n_buckets}"
+                + hint
             )
         return  # unchanged: don't touch the marker's mtime
     if fs.exists(root):
@@ -950,7 +975,14 @@ def upsert_docs(
     ``dry_run=True`` is the read-only pre-flight (``delete_docs``
     twin): no extraction, no writes — reports the affected buckets, how
     many input docs REPLACE existing rows (and how many stale rows those
-    hold) versus how many are NEW to the corpus.
+    hold) versus how many are NEW to the corpus. Unlike delete's
+    pre-flight, ``buckets_affected`` here is an UPPER BOUND on the real
+    run's ``buckets_rewritten``, not an exact prediction: a bucket never
+    written before whose only upserted docs extract to zero rows is
+    skipped by the real run (nothing to remove, nothing to add), and the
+    dry run cannot know the extraction outcome without running the
+    extraction it exists to avoid. ``rows_to_replace``/``docs_*`` are
+    exact.
     """
     from pyspark.sql.types import IntegerType, StructField, StructType
 

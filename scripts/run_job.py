@@ -6,6 +6,15 @@ Examples:
         --checkpoint /tmp/krt_cp --run-id demo --buckets 8
     spark-submit --py-files krt_pkg.zip scripts/run_job.py --input spans.parquet ...
 
+Crash -> resume -> verify (the end-to-end drive):
+    # 1. inject a crash after bucket 1 commits (expect RuntimeError)
+    python scripts/run_job.py --n-docs 1500 --out /tmp/o --checkpoint /tmp/c \
+        --run-id demo --buckets 4 --fail-after-bucket 1
+    # 2. SAME --run-id resumes: committed buckets skipped, rest run
+    python scripts/run_job.py --n-docs 1500 --out /tmp/o --checkpoint /tmp/c \
+        --run-id demo --buckets 4
+    # expect {"buckets_skipped": 2, "buckets_run": 2, "output_rows": >0}
+
 Reads either an existing (doc_id, spans) parquet table (--input) or a
 deterministic synthetic corpus (--n-docs). Resumable: re-run with the same
 --run-id/--checkpoint and completed buckets are skipped.
@@ -24,7 +33,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser(description=__doc__)
+    p = argparse.ArgumentParser(
+        description=__doc__,
+        # keep the crash->resume example's line structure in --help
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
     p.add_argument("--input", help="parquet path of (doc_id, spans) table")
     p.add_argument("--n-docs", type=int, default=0, help="synthesize N docs instead")
     p.add_argument("--seed", type=int, default=42)
@@ -37,6 +50,12 @@ def main(argv=None):
     p.add_argument("--master", default=None, help="e.g. local[8]")
     p.add_argument("--fail-after-bucket", type=int, default=None,
                    help="inject a crash after this bucket (resume testing)")
+    p.add_argument("--adopt-k", action="store_true",
+                   help="allow correcting a mistyped --buckets on a "
+                        "data-free output (marker only, no bucket dirs, "
+                        "no .staging leftovers); off by default because "
+                        "the same state could be a concurrent driver "
+                        "still computing its first bucket at the old K")
     p.add_argument("--bucket-subset", default=None,
                    help="comma-separated bucket ids to run (orchestrator "
                         "sharding); default: all")
@@ -91,6 +110,7 @@ def main(argv=None):
             row_model=args.row_model,
             gap_min_spaces=args.gap_min_spaces,
             output_mode=args.output_mode,
+            adopt_k=args.adopt_k,
         )
         wall = time.time() - t0
         if args.compact_target_mb:

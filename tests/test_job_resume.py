@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -224,17 +226,27 @@ def test_rerun_with_different_n_buckets_refused(spark, tmp_path):
 def test_mistyped_k_on_data_free_output_is_recoverable(spark, tmp_path):
     """A run launched with a mistyped K that dies before its first bucket
     commit leaves only the marker behind; nothing constrains the hash
-    yet, so a relaunch with the corrected K must adopt it and run instead
-    of permanently refusing the output path."""
+    yet, so a relaunch with the corrected K plus the explicit adopt_k
+    opt-in must run. WITHOUT the opt-in the relaunch refuses: the same
+    filesystem state could be a live concurrent driver still computing
+    its first bucket at the old K, and overwriting its marker would
+    interleave mixed-K buckets."""
     from key_resource_table_extractor_spark import job
 
     out = str(tmp_path / "out")
     # simulate the dead run: marker persisted, zero buckets committed
     job._write_bucket_count_marker(spark, out, 40)
     inp = job.synthesize_spans(spark, 20, seed=42)
+    with pytest.raises(ValueError, match="--adopt-k"):
+        job.run_extraction(
+            spark, inp, out, str(tmp_path / "cp"), run_id="fix",
+            n_buckets=4, partitions_per_bucket=2,
+        )
+    with open(f"{out}/_krt_n_buckets") as fh:
+        assert fh.read().strip() == "40"  # refusal left the marker alone
     s = job.run_extraction(
         spark, inp, out, str(tmp_path / "cp"), run_id="fix", n_buckets=4,
-        partitions_per_bucket=2,
+        partitions_per_bucket=2, adopt_k=True,
     )
     assert s["buckets_run"] == 4
     with open(f"{out}/_krt_n_buckets") as fh:
@@ -246,7 +258,8 @@ def test_staging_backup_blocks_k_adoption(spark, tmp_path):
     """An interrupted swap can leave the ONLY copy of a bucket under the
     .staging root (live dir retired, staged copy not yet committed). The
     output root then has a marker and zero bucket dirs — but it is NOT
-    data-free, so a relaunch with a different K must refuse, not adopt."""
+    data-free, so a relaunch with a different K must refuse, not adopt —
+    even when the operator passes the adopt_k opt-in."""
     import os
     import shutil
 
@@ -265,7 +278,7 @@ def test_staging_backup_blocks_k_adoption(spark, tmp_path):
         job.run_extraction(
             spark, job.synthesize_spans(spark, 10, seed=42), out,
             str(tmp_path / "cp"), run_id="swp2", n_buckets=4,
-            partitions_per_bucket=2,
+            partitions_per_bucket=2, adopt_k=True,
         )
     # same K still heals via _recover_bucket on the next maintenance op
     stats = job.compact_output(spark, out)
@@ -846,6 +859,48 @@ def test_upsert_zero_output_doc_still_removes_stale_rows(spark, tmp_path):
     assert stats["buckets_rewritten"] == 1
     got = job.read_output(spark, out)
     assert got.where(F.col("doc_id") == changed).count() == 0
+
+
+def test_upsert_dry_run_buckets_affected_is_upper_bound(spark, tmp_path):
+    """Documented asymmetry with delete's pre-flight: upsert dry_run's
+    ``buckets_affected`` is an UPPER bound on the real ``buckets_
+    rewritten``. A never-written bucket whose only upserted docs extract
+    to zero rows is skipped by the real run, and the dry run cannot know
+    that without running the extraction it exists to avoid."""
+    from key_resource_table_extractor_spark import job, oracle
+    from key_resource_table_extractor_spark.schemas import DOCUMENT_SPANS_SCHEMA
+
+    out = str(tmp_path / "out")
+    # sharded output: bucket 2 of K=3 never written
+    job.run_extraction(
+        spark, job.synthesize_spans(spark, 30, seed=42), out,
+        str(tmp_path / "cp"), run_id="ub", n_buckets=3,
+        partitions_per_bucket=2, buckets=[0, 1],
+    )
+    assert not os.path.exists(f"{out}/bucket=2")
+    # a NEW doc id hashing into the never-written bucket
+    cands = spark.createDataFrame(
+        [(f"newdoc_{i}",) for i in range(16)], "doc_id string"
+    ).withColumn(
+        "b", F.pmod(F.xxhash64("doc_id"), F.lit(3)).cast("int")
+    ).collect()
+    new_id = next(r["doc_id"] for r in cands if r["b"] == 2)
+    tableless = [
+        {"kind": "text", "text": "prose only, nothing tabular here",
+         "media_ref": None, "offset": 0},
+    ]
+    assert oracle.extract_document(
+        [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in tableless]
+    ) == []
+    upsert_in = spark.createDataFrame(
+        [(new_id, tableless)], DOCUMENT_SPANS_SCHEMA
+    )
+    dry = job.upsert_docs(spark, upsert_in, out, dry_run=True)
+    assert dry["buckets_affected"] == [2]  # the bound, not a prediction
+    assert dry["docs_new"] == 1 and dry["docs_replacing"] == 0
+    real = job.upsert_docs(spark, upsert_in, out)
+    assert real["buckets_rewritten"] == 0  # strictly under the dry bound
+    assert not os.path.exists(f"{out}/bucket=2")  # still never written
 
 
 def test_maintenance_k_resolution(spark, tmp_path):
