@@ -158,18 +158,23 @@ _ROTATION_LOGGED = False
 
 
 def _rotation_index() -> int:
-    """Round parity for the gate-window rotation. `KRT_ROTATION_INDEX`
-    overrides explicitly; otherwise derive from the driver's committed
-    correctness files (max N of CORRECTNESS_r{N}.json, mod the rotation
-    length — files only change between rounds, so the index is stable
-    within one). The resolved index and its source are logged once per
-    process so every gate record is attributable to a window
-    composition even if local round artifacts differ from the clone."""
+    """Round parity for the gate-window rotation. Resolution order:
+    `KRT_ROTATION_INDEX` env override; else the checked-in one-line
+    `ROUND` file (the current round number, bumped each round alongside
+    the snapshot — index = (ROUND - 1) % len, matching the historical
+    max(CORRECTNESS_r{N}) derivation since round N runs with rounds
+    1..N-1's artifacts committed); else the legacy CORRECTNESS glob for
+    a tree without the file. The ROUND file makes a fresh clone resolve
+    the same index as the working tree deterministically. The resolved
+    index and its source are logged once per process so every gate
+    record is attributable to a window composition."""
     import glob
     import re
 
     global _ROTATION_LOGGED
+    here = os.path.dirname(os.path.abspath(__file__))
     env = os.environ.get("KRT_ROTATION_INDEX", "").strip()
+    round_file = os.path.join(here, "ROUND")
     if env:
         try:
             ri = int(env) % len(ROWS_ONLY_ROTATION)
@@ -178,8 +183,18 @@ def _rotation_index() -> int:
                 f"KRT_ROTATION_INDEX must be an integer, got {env!r}"
             ) from None
         src = f"env={env}"
+    elif os.path.exists(round_file):
+        with open(round_file) as fh:
+            raw = fh.read().strip()
+        try:
+            rnd = int(raw)
+        except ValueError:
+            raise ValueError(
+                f"ROUND file must hold an integer round number, got {raw!r}"
+            ) from None
+        ri = (rnd - 1) % len(ROWS_ONLY_ROTATION)
+        src = f"ROUND={rnd}"
     else:
-        here = os.path.dirname(os.path.abspath(__file__))
         ns = [
             int(mm.group(1))
             for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))

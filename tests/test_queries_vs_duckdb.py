@@ -5,6 +5,7 @@ scripts/check_queries.py at sf0.01."""
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
@@ -149,6 +150,37 @@ def test_rotation_index_env_override(entry_mod, monkeypatch):
     monkeypatch.setenv("KRT_ROTATION_INDEX", "x")
     with pytest.raises(ValueError, match="KRT_ROTATION_INDEX"):
         entry_mod._rotation_index()
+
+
+def test_rotation_round_file_is_deterministic_and_consistent(entry_mod,
+                                                             monkeypatch):
+    """The checked-in ROUND file is the index's source of truth (under
+    the env override): a fresh clone — which has ROUND but may lack
+    local round artifacts — must resolve the same index as this working
+    tree, and while the CORRECTNESS_r*.json history is present the two
+    derivations must agree ((ROUND-1) == max N). Garbage content fails
+    loudly naming the file."""
+    import glob
+    import re
+
+    monkeypatch.delenv("KRT_ROTATION_INDEX", raising=False)
+    here = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    round_file = os.path.join(here, "ROUND")
+    assert os.path.exists(round_file), "ROUND must be checked in"
+    rnd = int(open(round_file).read().strip())
+    assert entry_mod._rotation_index() == (rnd - 1) % len(
+        entry_mod.ROWS_ONLY_ROTATION
+    )
+    ns = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+    ]
+    if ns:  # both sources present: they must name the same round
+        assert rnd - 1 == max(ns), (
+            f"ROUND={rnd} disagrees with max(CORRECTNESS_r*)={max(ns)} — "
+            "bump ROUND with the round snapshot"
+        )
 
 
 def test_repetition_stats_exact_across_partitionings(spark, duck):
