@@ -298,6 +298,7 @@ def _extract_doc_regions(
     excepted_pages: list[int] | None = None,
     row_model: str | None = None,
     with_extents: bool = False,
+    midcol_rowspans: bool = False,
 ) -> int:
     """Emit one doc's regions into the output accumulator. Returns #tables.
 
@@ -451,10 +452,17 @@ def _extract_doc_regions(
             # over DATA row boxes, table_model.py:239-264); cancelling
             # there falls back to the flat documented-deviation shape.
             # Per (group, col): col 0 spans the whole covered run (the
-            # covered rows are anchor-less by construction); a carrier
-            # cell in column c>0 spans the PREFIX of the run over which
-            # the covered rows stay empty in c — the same fold evidence,
-            # position-agnostic like the reference's spanning-cell boxes.
+            # covered rows are anchor-less by construction — strong fold
+            # evidence). A carrier cell in column c>0 spanning the
+            # empty-in-c PREFIX of the run is recovered only under the
+            # ``midcol_rowspans`` opt-in: its sole evidence is "covered
+            # row empty in c", which a genuinely empty cell (the common
+            # sparse-column shape) produces byte-identically, so the
+            # default keeps the flat emission that is correct there —
+            # the opt-in trades that false positive for recovering true
+            # mid-column spans (documented deviation either way; the
+            # reference's pixel boxes disambiguate, table_model.py:
+            # 239-264, and the span contract excludes them, SURVEY §1.3).
             grp_rowspan = np.ones((ngroups, ncols), dtype=np.int64)
             if cont_full is not None and cont_full.any():
                 covered = np.zeros(ngroups, dtype=bool)
@@ -467,7 +475,7 @@ def _extract_doc_regions(
                     else:
                         if run and not grp_is_hdr[g] and not grp_fullspan[g]:
                             grp_rowspan[g, 0] = 1 + run
-                            for c in range(1, ncols):
+                            for c in range(1, ncols) if midcol_rowspans else ():
                                 if folded[g, c] == "":
                                     continue
                                 pre = 0
@@ -548,6 +556,7 @@ def extract_columnar(
     row_model: str | None = None,
     gap_min_spaces: int = spec.GAP_MIN_SPACES,
     with_extents: bool = False,
+    midcol_rowspans: bool = False,
 ) -> dict:
     """Extraction over flat columnar span arrays for a batch of docs.
     Returns a dict of output columns (lists / numpy arrays), including the
@@ -628,6 +637,7 @@ def extract_columnar(
                 excepted_pages=excepted_pages,
                 row_model=row_model,
                 with_extents=with_extents,
+                midcol_rowspans=midcol_rowspans,
             )
         except Exception:  # per-doc isolation (reference stores err_msg)
             n_errors += 1
@@ -751,6 +761,7 @@ def extract_nested_batch(
     excepted_pages: list[int] | None = None,
     row_model: str | None = None,
     gap_min_spaces: int = spec.GAP_MIN_SPACES,
+    midcol_rowspans: bool = False,
 ) -> pd.DataFrame:
     """One row per doc: the reference's result-JSON wrapper
     ``{"paper_id": ..., "result": {"pages": [{"page": N, "tables":
@@ -785,10 +796,19 @@ def extract_nested_batch(
     cell carries ``rowspan = 1 + run`` over the covered rows — the
     char-space twin of a spanning cell's box covering the rows below it.
     A carrier cell in a column c > 0 whose covered rows stay EMPTY in c
-    is the same evidence and carries ``rowspan = 1 + prefix`` over the
-    empty prefix of the run; ``_apply_rowspan_occupancy`` verifies every
-    claim against rendered-cell boundaries and cancels inconsistent
-    ones. Remaining documented deviation: a rowspan whose covered rows
+    carries ``rowspan = 1 + prefix`` over the empty prefix of the run —
+    but ONLY under the ``midcol_rowspans=True`` opt-in: unlike the col-0
+    case, "covered row empty in c" is also produced byte-identically by
+    a genuinely empty cell (the common sparse-column shape), where the
+    claim is a FALSE POSITIVE that degrades an otherwise-perfect GriTS
+    score (pinned by tests/test_colspan_rowspan.py::
+    test_sparse_column_false_positive_is_gated). The char-space signal
+    cannot distinguish the two (the reference's pixel boxes can), so the
+    default stays flat — correct on sparse columns, missing true
+    mid-column spans — and the opt-in inverts the trade.
+    ``_apply_rowspan_occupancy`` verifies every claim against
+    rendered-cell boundaries and cancels inconsistent ones.
+    Remaining documented deviation: a rowspan whose covered rows
     keep their OWN col-0 anchors (no fold evidence — the covered rows
     are ordinary detected rows whose cell in the spanning column is
     empty) renders byte-identically to genuinely empty cells and is
@@ -810,6 +830,7 @@ def extract_nested_batch(
         row_model=row_model,
         gap_min_spaces=gap_min_spaces,
         with_extents=with_colspans,
+        midcol_rowspans=midcol_rowspans,
     )
     docs: dict[str, dict] = {}
     fullspan: dict[tuple, bool] = {}
@@ -1007,6 +1028,7 @@ def make_nested_map_in_pandas_fn(
     excepted_pages: list[int] | None = None,
     row_model: str | None = None,
     gap_min_spaces: int = spec.GAP_MIN_SPACES,
+    midcol_rowspans: bool = False,
 ):
     """mapInPandas fn emitting the nested result-JSON (one row per doc)."""
 
@@ -1020,6 +1042,7 @@ def make_nested_map_in_pandas_fn(
                 excepted_pages=excepted_pages,
                 row_model=row_model,
                 gap_min_spaces=gap_min_spaces,
+                midcol_rowspans=midcol_rowspans,
             )
 
     return fn

@@ -245,10 +245,13 @@ def extract_nested(
     excepted_lines: list[int] | None = None,
     excepted_pages: list[int] | None = None,
     gap_min_spaces: int | None = None,
+    midcol_rowspans: bool = False,
 ) -> DataFrame:
     """spans table → one row per doc with the reference's result-JSON
     wrapper (S7 sink parity; FIXTURES.md §4). ``with_colspans`` switches
-    cells to the gold-JSON ``{"content", "colspan"}`` shape."""
+    cells to the gold-JSON ``{"content", "colspan"}`` shape.
+    ``midcol_rowspans`` opts into non-col-0 rowspan recovery (see
+    ``extract_nested_batch`` for the sparse-column trade-off)."""
     from . import spec
     from .extractor.pipeline import make_nested_map_in_pandas_fn
 
@@ -263,6 +266,7 @@ def extract_nested(
                 spec.GAP_MIN_SPACES if gap_min_spaces is None
                 else gap_min_spaces
             ),
+            midcol_rowspans=midcol_rowspans,
         ),
         "doc_id string, result string",
     )
@@ -328,6 +332,7 @@ def run_extraction(
     gap_min_spaces: int | None = None,
     output_mode: str = "spans",
     adopt_k: bool = False,
+    midcol_rowspans: bool = False,
 ) -> dict:
     """Run (or resume) the extraction over ``input_df``.
 
@@ -422,6 +427,7 @@ def run_extraction(
                 excepted_lines=excepted_lines,
                 excepted_pages=excepted_pages,
                 gap_min_spaces=gap_min_spaces,
+                midcol_rowspans=midcol_rowspans,
             )
             out = out.observe(
                 obs,

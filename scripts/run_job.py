@@ -77,6 +77,12 @@ def main(argv=None):
                         "nested / nested-colspans = one result-JSON row per "
                         "doc (the reference's S7 sink shape), under the "
                         "same bucket checkpoint/resume discipline")
+    p.add_argument("--midcol-rowspans", action="store_true",
+                   help="(nested-colspans + anchor) also recover rowspans "
+                        "carried by NON-col-0 cells; off by default "
+                        "because the evidence (covered row empty in that "
+                        "column) is indistinguishable from a genuinely "
+                        "empty sparse-column cell")
     p.add_argument("--compact-target-mb", type=int, default=0,
                    help="after the run, rewrite each bucket directory "
                         "into ~N MB parquet files (0 = off)")
@@ -111,6 +117,7 @@ def main(argv=None):
             gap_min_spaces=args.gap_min_spaces,
             output_mode=args.output_mode,
             adopt_k=args.adopt_k,
+            midcol_rowspans=args.midcol_rowspans,
         )
         wall = time.time() - t0
         if args.compact_target_mb:

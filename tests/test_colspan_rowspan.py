@@ -239,7 +239,7 @@ def test_anchor_rowspan_run_of_three():
     }
     pred = _nested_rows(
         extract_nested_batch(_pdf_of(tbl), row_model="anchor",
-                             with_colspans=True)
+                             with_colspans=True, midcol_rowspans=True)
     )[1:]
     assert pred[1][0]["rowspan"] == 3
     assert len(pred[2]) == 2 and len(pred[3]) == 2
@@ -299,7 +299,8 @@ def test_mid_column_rowspan_gold_round_trip():
     )
 
     nested = extract_nested_batch(
-        _pdf_of(ROWSPAN_MID_TBL), row_model="anchor", with_colspans=True
+        _pdf_of(ROWSPAN_MID_TBL), row_model="anchor", with_colspans=True,
+        midcol_rowspans=True,
     )
     pred = _nested_rows(nested)[1:]  # drop the prepended title row
     assert pred[1][0] == {
@@ -337,7 +338,7 @@ def test_mid_column_rowspan_prefix_of_run():
     }
     pred = _nested_rows(
         extract_nested_batch(_pdf_of(tbl), row_model="anchor",
-                             with_colspans=True)
+                             with_colspans=True, midcol_rowspans=True)
     )[1:]
     assert pred[1][0]["rowspan"] == 3      # anchor spans the whole run
     assert pred[1][2]["rowspan"] == 2      # mid column spans its prefix
@@ -476,7 +477,7 @@ def test_mid_rowspan_property_round_trip():
         tbl = {"name": f"mprop{trial}", "rows": rows}
         pred = _nested_rows(
             extract_nested_batch(_pdf_of(tbl), row_model="anchor",
-                                 with_colspans=True)
+                                 with_colspans=True, midcol_rowspans=True)
         )[1:]
         assert grits_content(pred, rows) == (1.0, 1.0, 1.0), (trial, pred)
         assert grits_factored(pred, rows) == (1.0, 1.0, 1.0, 1.0), trial
@@ -530,3 +531,52 @@ def test_rowspan_never_carried_by_header_or_divider():
         r[1]["content"] == "anti-X mouse" and r[0]["content"] == ""
         for r in rows if len(r) == 3
     ), rows
+
+
+def test_sparse_column_false_positive_is_gated():
+    """ADVICE r6 (medium): a col-0 rowspan whose covered row holds a
+    genuinely EMPTY mid-column cell renders byte-identically to a
+    mid-column spanning cell. The DEFAULT (midcol_rowspans=False) stays
+    flat there and keeps the perfect GriTS round-trip; the opt-in claims
+    the spurious mid-column rowspan and pays the documented score hit —
+    pinning both directions of the trade."""
+    from key_resource_table_extractor_spark.eval.grits_like import (
+        grits_topology,
+    )
+
+    tbl = {
+        "name": "sparse_note",
+        "rows": [
+            [_cell("REAGENT and RESOURCE"), _cell("SOURCE"), _cell("NOTE"),
+             _cell("IDENTIFIER")],
+            [_cell("Primer pair", rowspan=2), _cell("fwd GGTACC"),
+             _cell("lot 12"), _cell("RRID:AB_1")],
+            # covered row: NOTE is genuinely empty — NOT covered by a span
+            [_cell("rev AAGCTT"), _cell(""), _cell("RRID:AB_2")],
+            [_cell("Bar protein"), _cell("Sigma"), _cell("lot 99"),
+             _cell("RRID:SCR_44")],
+        ],
+    }
+    gold = tbl["rows"]
+    # default: flat mid columns — exact round-trip, full identity
+    pred = _nested_rows(
+        extract_nested_batch(_pdf_of(tbl), row_model="anchor",
+                             with_colspans=True)
+    )[1:]
+    assert pred[1][0].get("rowspan") == 2       # col-0 recovery still on
+    assert not any(
+        "rowspan" in c for r in pred for c in r[1:]
+    ), "no mid-column claims under the default"
+    assert grits_content(pred, gold) == (1.0, 1.0, 1.0), pred
+    assert grits_factored(pred, gold) == (1.0, 1.0, 1.0, 1.0)
+    assert grits_topology(pred, gold) == (1.0, 1.0, 1.0)
+    # opt-in: the empty NOTE cell under the covered run is claimed as a
+    # spurious rowspan=2 — the false-positive direction, score degraded
+    pred_on = _nested_rows(
+        extract_nested_batch(_pdf_of(tbl), row_model="anchor",
+                             with_colspans=True, midcol_rowspans=True)
+    )[1:]
+    assert pred_on[1][2].get("rowspan") == 2    # the spurious claim
+    f1c = grits_content(pred_on, gold)[0]
+    topo_f1 = grits_topology(pred_on, gold)[2]
+    assert f1c < 1.0 and topo_f1 < 1.0, (f1c, topo_f1)
