@@ -128,6 +128,11 @@ DEMOTED = [
     # theta-join evidence duplicated by similarity_match_join (same
     # machinery, best-per-left vs one-to-one variant)
     "similarity_match_join_1to1",
+    # gap-islands evidence duplicated by interval_union_islands (same
+    # lag+cumsum islands machinery); the events-table lag-window shape
+    # stays driver-covered by prev_event_transitions. Demoted round 7 to
+    # make window room for label_transfer (VERDICT r6 task 3).
+    "event_sessions",
 ]
 # rows-only groups rotated INTO the window (one group per round) and the
 # redundant-D groups rotated OUT to make room (sizes pair up, keeping

@@ -12,13 +12,15 @@ from __future__ import annotations
 from . import (  # noqa: F401
     curation,
     dedup,
+    labels,
     multimodal,
     relational,
     similarity,
     text,
 )
 
-ALL_MODULES = [relational, text, dedup, similarity, multimodal, curation]
+ALL_MODULES = [relational, text, dedup, similarity, multimodal, curation,
+               labels]
 
 
 def all_queries():

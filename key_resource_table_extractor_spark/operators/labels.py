@@ -88,3 +88,63 @@ def pair_annotated_files(
         lf.join(F.broadcast(inf), lf["__stem"] == inf["__s2"])
         .select("labeled_file", "instance_file")
     )
+
+
+# --------------------------------------------------------------------------
+# driver query: positional label transfer over the shared lineitem table
+# --------------------------------------------------------------------------
+
+def q_label_transfer(spark, sf_dir):
+    """Driver-gate harness for ``transfer_labels`` (reference
+    scripts/label_transfer.py:12-33): each order's lineitems are the
+    positional instances (file = orderkey, sequence = linenumber) and a
+    labeled export of the same file carries ``l_returnflag`` as the
+    label; ``offset=1`` reproduces the reference's extra-leading-
+    instance shift, so the LAST instance of every order surfaces a NULL
+    label (length mismatch made visible, not hidden). One window + one
+    co-partitioned (file, position) equi-join — no driver loop."""
+    from .common import load
+
+    src = load(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 50 == 0
+    )
+    instances = src.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+    )
+    labeled = src.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_returnflag").alias("label"),
+    )
+    return transfer_labels(
+        labeled, instances,
+        file_col="orderkey", seq_col="linenumber", label_col="label",
+    )
+
+
+SQL_LABEL_TRANSFER = """
+WITH src AS (
+  SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+         l_returnflag AS label
+  FROM lineitem WHERE l_orderkey % 50 = 0
+),
+lab AS (
+  SELECT orderkey,
+         row_number() OVER (PARTITION BY orderkey ORDER BY linenumber) - 1
+           AS pos,
+         label
+  FROM src
+),
+inst AS (
+  SELECT orderkey, linenumber,
+         row_number() OVER (PARTITION BY orderkey ORDER BY linenumber) AS pos
+  FROM src
+)
+SELECT i.orderkey, i.linenumber, l.label
+FROM inst i LEFT JOIN lab l ON i.orderkey = l.orderkey AND i.pos = l.pos
+"""
+
+
+QUERIES = {"label_transfer": q_label_transfer}
+ORACLE = {"label_transfer": SQL_LABEL_TRANSFER}
