@@ -772,12 +772,26 @@ def compact_output(
     output_path: str,
     target_bytes: int = 256 << 20,
     buckets: list[int] | None = None,
-) -> list[dict]:
+    dry_run: bool = False,
+) -> list[dict] | dict:
     """Compact every (or the given) bucket directory under
     ``output_path``. Buckets are independent — an orchestrator can shard
     this loop exactly like the extraction buckets themselves (and a
     sharded driver MUST pass its own subset: compacting a bucket another
-    driver is still writing would swap in a stale snapshot)."""
+    driver is still writing would swap in a stale snapshot).
+
+    ``dry_run=True`` is the read-only pre-flight (delete/upsert twin,
+    and the one an operator most wants before pointing a rewrite at a
+    100 TB corpus on a guessed target size): filesystem metadata only —
+    no Spark jobs, no recovery, no writes, untouched mtimes. Reports per
+    bucket the parquet files/bytes today and the computed
+    ``files_target`` the rewrite would aim for; a bucket currently
+    retired by an interrupted swap is counted from its ``.staging``
+    backup (matching what the healed real run would compact) and left
+    retired. ``files_target`` is an upper bound on the real run's
+    ``files_after``: ``repartition(n)`` emits fewer files when the
+    bucket holds fewer rows than partitions, which only the rewrite
+    itself can know."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(output_path)
@@ -794,6 +808,33 @@ def compact_output(
                 if m:
                     buckets.add(int(m.group(1)))
         buckets = sorted(buckets)
+    if dry_run:
+        P = jvm.org.apache.hadoop.fs.Path
+        per = []
+        for b in buckets:
+            live = P(f"{output_path}/bucket={b}")
+            backup = P(f"{output_path}.staging/bucket={b}.old")
+            path = (
+                live if fs.exists(live)
+                else backup if fs.exists(backup)
+                else None
+            )
+            if path is None:  # mirror compact_bucket on an explicit miss
+                raise FileNotFoundError(f"{output_path}/bucket={b}")
+            n, total = _parquet_dir_stats(fs, path)
+            per.append({
+                "bucket": b,
+                "bytes": total,
+                "files_before": n,
+                "files_target": max(1, -(-total // target_bytes)),
+            })
+        return {
+            "dry_run": True,
+            "buckets": per,
+            "bytes": sum(s["bytes"] for s in per),
+            "files_before": sum(s["files_before"] for s in per),
+            "files_target": sum(s["files_target"] for s in per),
+        }
     return [
         compact_bucket(spark, output_path, b, target_bytes)
         for b in buckets

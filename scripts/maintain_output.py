@@ -53,6 +53,11 @@ def main(argv=None):
     c.add_argument("--bucket-subset", default=None,
                    help="comma-separated bucket ids (shard drivers MUST "
                         "pass their own subset); default: all committed")
+    c.add_argument("--dry-run", action="store_true",
+                   help="read-only pre-flight: per-bucket files/bytes "
+                        "today and the computed files_target (an upper "
+                        "bound on the real files_after); no Spark jobs, "
+                        "no writes")
 
     d = sub.add_parser("delete", help="remove documents by id (RTBF)")
     d.add_argument("--out", required=True)
@@ -100,13 +105,17 @@ def main(argv=None):
             stats = job.compact_output(
                 spark, args.out, target_bytes=args.target_mb << 20,
                 buckets=_ints(args.bucket_subset),
+                dry_run=args.dry_run,
             )
-            summary = {
-                "cmd": "compact",
-                "buckets_rewritten": len(stats),
-                "files_before": sum(s["files_before"] for s in stats),
-                "files_after": sum(s["files_after"] for s in stats),
-            }
+            if args.dry_run:
+                summary = {"cmd": "compact"} | stats
+            else:
+                summary = {
+                    "cmd": "compact",
+                    "buckets_rewritten": len(stats),
+                    "files_before": sum(s["files_before"] for s in stats),
+                    "files_after": sum(s["files_after"] for s in stats),
+                }
         elif args.cmd == "delete":
             srcs = [args.doc_ids, args.doc_ids_file, args.doc_ids_parquet]
             if sum(bool(s) for s in srcs) != 1:

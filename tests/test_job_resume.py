@@ -553,6 +553,56 @@ def test_delete_dry_run_predicts_real_run_and_touches_nothing(spark, tmp_path):
             assert os.path.getmtime(os.path.join(out, b, f)) == m, (b, f)
 
 
+def test_compact_dry_run_predicts_real_run_and_touches_nothing(
+    spark, tmp_path
+):
+    """Compact dry-run (delete/upsert twin): filesystem metadata only —
+    all mtimes untouched, a retired bucket counted from its .staging
+    backup and LEFT retired — with files_target an upper bound on (and
+    bytes/files_before an exact match of) the subsequent real run."""
+    import shutil
+
+    from key_resource_table_extractor_spark import job
+
+    out = str(tmp_path / "out")
+    job.run_extraction(
+        spark, job.synthesize_spans(spark, 60, seed=42), out,
+        str(tmp_path / "cp"), run_id="cdry", n_buckets=3,
+        partitions_per_bucket=4,
+    )
+    # retire one bucket mid-swap: dry-run must count its backup
+    os.makedirs(f"{out}.staging", exist_ok=True)
+    shutil.move(f"{out}/bucket=1", f"{out}.staging/bucket=1.old")
+    mtimes = {
+        (b, f): os.path.getmtime(os.path.join(out, b, f))
+        for b in os.listdir(out) if b.startswith("bucket=")
+        for f in os.listdir(os.path.join(out, b))
+    }
+    dry = job.compact_output(spark, out, target_bytes=1 << 20, dry_run=True)
+    assert dry["dry_run"] is True
+    assert [s["bucket"] for s in dry["buckets"]] == [0, 1, 2]
+    assert all(s["files_before"] > 0 and s["bytes"] > 0
+               for s in dry["buckets"])
+    assert dry["files_before"] == sum(
+        s["files_before"] for s in dry["buckets"]
+    )
+    after = {
+        (b, f): os.path.getmtime(os.path.join(out, b, f))
+        for b in os.listdir(out) if b.startswith("bucket=")
+        for f in os.listdir(os.path.join(out, b))
+    }
+    assert after == mtimes  # read-only: nothing rewritten, no recovery
+    assert os.path.exists(f"{out}.staging/bucket=1.old")  # still retired
+    real = job.compact_output(spark, out, target_bytes=1 << 20)
+    assert [s["bucket"] for s in real] == [0, 1, 2]
+    for d, r in zip(dry["buckets"], real):
+        assert d["bytes"] == r["bytes"]
+        assert d["files_before"] == r["files_before"]
+        assert r["files_after"] <= d["files_target"]  # documented bound
+    # round-trip intact after recovery + compaction
+    assert job.read_output(spark, out).count() > 0
+
+
 def test_upsert_dry_run_reports_replace_new_split(spark, tmp_path):
     """Upsert dry-run: read-only (all mtimes untouched, no extraction),
     reporting how many input docs replace existing rows — and how many
