@@ -862,13 +862,15 @@ def delete_docs(
     be passed explicitly for a partial/sharded one (see
     ``_writer_bucket_count``). Only affected bucket directories are read
     and rewritten — at K=4096 deleting a handful of docs touches a
-    handful of directories, not the corpus. Each rewrite pays ONE scan of
-    the bucket: before/after row counts ride the write as ``Observation``
-    metrics (the ``run_extraction`` pattern), and the swap reuses the
-    checked retire/commit discipline of ``compact_bucket``; untouched
-    buckets keep their files byte-identical. The anti-join broadcasts
-    only the ids hashed INTO the bucket being rewritten, so the per-
-    bucket broadcast stays ~|ids|/K even for mass deletes.
+    handful of directories, not the corpus — and the rewrite is BATCHED:
+    one hit-count pass plus one staged write hive-partitioned by
+    ``bucket`` cover every affected directory, so the Spark-job count is
+    constant in the number of buckets touched (a 10^7-id policy sweep at
+    K=4096 runs 2 jobs, not ~4096). Each bucket still commits through
+    the checked retire/commit swap of ``compact_bucket`` — now a pure
+    metadata rename per bucket; untouched buckets (including
+    hash-affected ones holding none of the ids) keep their files
+    byte-identical.
 
     ``dry_run=True`` reports what the real run would do — affected
     buckets and rows to remove per bucket — read-only (two actions: the
@@ -882,8 +884,6 @@ def delete_docs(
     run's ``buckets_affected`` and every other bucket — including a
     hash-affected one holding no matching rows — stays byte-identical.
     """
-    from pyspark.sql import Observation
-
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(output_path)
@@ -902,8 +902,9 @@ def delete_docs(
         "__bucket",
         F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"),
     )
-    # cached: the per-bucket loop re-reads its own bucket's slice, and a
-    # DataFrame id source would otherwise rescan per affected bucket
+    # cached: the id set feeds the affected-bucket aggregation, the
+    # hit-count semi-join, and the staged anti-join — a DataFrame id
+    # source would otherwise recompute for each
     ids = ids.persist()
     try:
         affected = sorted(
@@ -945,37 +946,66 @@ def delete_docs(
                     [b, by_bucket[b]] for b in sorted(by_bucket)
                 ],
             }
-        removed = 0
-        rewritten = 0
+        # Batched rewrite: the per-bucket work is TWO Spark jobs total —
+        # a hit-count pass and one staged write partitioned by bucket —
+        # regardless of how many buckets the ids touch, so a 10^7-id
+        # policy sweep at K=4096 stops paying ~4096 sequential job
+        # launches of mostly fixed overhead. The checked per-bucket
+        # retire/commit swaps remain, but as pure metadata renames.
+        P = jvm.org.apache.hadoop.fs.Path
         for b in affected:
             _recover_bucket(fs, jvm, output_path, b)
-            bucket_dir = f"{output_path}/bucket={b}"
-            if not fs.exists(jvm.org.apache.hadoop.fs.Path(bucket_dir)):
-                continue  # explicit-K partial: nothing written there yet
-            obs_in = Observation(f"del_in_{b}_{uuid.uuid4().hex[:6]}")
-            obs_out = Observation(f"del_out_{b}_{uuid.uuid4().hex[:6]}")
-            bucket_ids = ids.where(F.col("__bucket") == b).select("doc_id")
-            keep = (
-                spark.read.parquet(bucket_dir)
-                .observe(obs_in, F.count(F.lit(1)).alias("n"))
-                .join(F.broadcast(bucket_ids), "doc_id", "left_anti")
-                .observe(obs_out, F.count(F.lit(1)).alias("n"))
+        existing = [
+            b for b in affected
+            if fs.exists(P(f"{output_path}/bucket={b}"))
+        ]  # explicit-K partial: ids may hash to never-written buckets
+        removed = 0
+        rewritten = 0
+        if existing:
+            paths = [f"{output_path}/bucket={b}" for b in existing]
+            # job 1: per-bucket hit counts — also the exact removed-row
+            # counts, and they bound the swap set to buckets that really
+            # lose rows (a hash-affected bucket holding none of the ids
+            # keeps its files byte-identical, matching dry_run's
+            # buckets_affected)
+            hits = (
+                spark.read.option("basePath", output_path).parquet(*paths)
+                .join(ids.select("doc_id"), "doc_id", "left_semi")
+                .groupBy("bucket")
+                .count()
+                .collect()
             )
-            staging = jvm.org.apache.hadoop.fs.Path(
-                f"{output_path}.staging/bucket={b}.deleting"
-            )
-            keep.write.mode("overwrite").parquet(str(staging))
-            removed_b = int(obs_in.get["n"]) - int(obs_out.get["n"])
-            if removed_b == 0:
-                # a hash-affected bucket with no matching rows (id absent
-                # from the corpus): discard the staged copy and leave the
-                # live directory byte-identical — keeps the real run
-                # consistent with dry_run's buckets_affected report
-                fs.delete(staging, True)
-                continue
-            _swap_bucket_dir(fs, jvm, output_path, b, staging)
-            removed += removed_b
-            rewritten += 1
+            by_bucket = {int(r["bucket"]): int(r["count"]) for r in hits}
+            hit_buckets = sorted(by_bucket)
+            if hit_buckets:
+                # job 2: every hit bucket's keep-rows staged in ONE write
+                # (hive-partitioned like the live tree, so each staged
+                # bucket dir swaps in as-is). The anti-join side is the
+                # full id set: broadcast when it came as a driver-side
+                # list, left to AQE for a DataFrame-sized sweep.
+                join_ids = ids.select("doc_id")
+                if not isinstance(doc_ids, DataFrame):
+                    join_ids = F.broadcast(join_ids)
+                stage_root = f"{output_path}.staging/delete_keep"
+                keep = (
+                    spark.read.option("basePath", output_path).parquet(
+                        *[f"{output_path}/bucket={b}" for b in hit_buckets]
+                    )
+                    .join(join_ids, "doc_id", "left_anti")
+                )
+                keep.write.mode("overwrite").partitionBy("bucket").parquet(
+                    stage_root
+                )
+                for b in hit_buckets:
+                    staged = P(f"{stage_root}/bucket={b}")
+                    if not fs.exists(staged):
+                        # every row of the bucket was removed: an empty
+                        # directory is the correct post-delete state
+                        fs.mkdirs(staged)
+                    _swap_bucket_dir(fs, jvm, output_path, b, staged)
+                    removed += by_bucket[b]
+                    rewritten += 1
+                fs.delete(P(stage_root), True)
     finally:
         ids.unpersist()
     return {
@@ -1002,10 +1032,12 @@ def upsert_docs(
     complete the corpus-maintenance surface.
 
     Extraction runs ONCE: the replacement rows are written to a staging
-    root partitioned by the writer's own bucket hash, then each affected
-    bucket is swapped to (old rows minus upserted doc_ids) ∪ (its staged
-    new rows) with the same checked retire/commit swap as
-    ``compact_bucket``. The replace set is derived from ``input_df``, NOT
+    root partitioned by the writer's own bucket hash, and ONE further
+    merged write stages every affected bucket's (old rows minus upserted
+    doc_ids) ∪ (its staged new rows) — the Spark-job count is constant
+    in the number of buckets touched, with each bucket still committing
+    through the checked retire/commit swap of ``compact_bucket`` as a
+    metadata-only rename. The replace set is derived from ``input_df``, NOT
     from the extraction output — a changed doc whose new content yields
     zero rows (no tables detected) still has its stale rows removed.
     Buckets holding none of the upserted docs keep their files
@@ -1122,11 +1154,10 @@ def upsert_docs(
     # explicit schema: a staged write where every doc produced zero rows
     # has no parquet files to infer from, and the replace set below must
     # still be honored
-    staged = spark.read.schema(
-        StructType(
-            new_rows.schema.fields + [StructField("bucket", IntegerType())]
-        )
-    ).parquet(stage_root)
+    bucketed_schema = StructType(
+        new_rows.schema.fields + [StructField("bucket", IntegerType())]
+    )
+    staged = spark.read.schema(bucketed_schema).parquet(stage_root)
     fresh_buckets = {
         r["bucket"] for r in staged.select("bucket").distinct().collect()
     }
@@ -1138,29 +1169,51 @@ def upsert_docs(
     affected = sorted(r["bucket"] for r in ids.select("bucket").distinct().collect())
     n_docs = ids.count()
     rewritten = 0
+    # Batched rewrite (delete_docs twin): ONE staged write merges every
+    # affected bucket's (old rows minus upserted ids) ∪ (its fresh rows),
+    # hive-partitioned by bucket so each staged dir swaps in as-is — the
+    # Spark-job count stays constant in the number of buckets touched,
+    # and the checked per-bucket swaps are pure metadata renames.
+    P = jvm.org.apache.hadoop.fs.Path
     for b in affected:
         _recover_bucket(fs, jvm, output_path, b)
-        bucket_dir = f"{output_path}/bucket={b}"
-        path = jvm.org.apache.hadoop.fs.Path(bucket_dir)
-        exists = fs.exists(path)
-        if not exists and b not in fresh_buckets:
-            # new doc whose extraction emitted nothing, in a bucket never
-            # written: nothing to remove, nothing to add
-            continue
-        fresh = staged.where(F.col("bucket") == b).drop("bucket")
-        staging = jvm.org.apache.hadoop.fs.Path(
-            f"{output_path}.staging/bucket={b}.upserting"
-        )
-        if exists:
-            kept = spark.read.parquet(bucket_dir).join(
-                F.broadcast(ids.select("doc_id")), "doc_id", "left_anti"
+    existing = [
+        b for b in affected if fs.exists(P(f"{output_path}/bucket={b}"))
+    ]
+    # a bucket with nothing to remove (never written) and nothing to add
+    # (its docs extracted zero rows) needs no swap at all
+    swap_buckets = [
+        b for b in affected if b in set(existing) or b in fresh_buckets
+    ]
+    merge_root = f"{output_path}.staging/upsert_merged"
+    if swap_buckets:
+        if existing:
+            # explicit schema: an existing bucket dir can be EMPTY (fully
+            # deleted earlier) and must not sink schema inference
+            kept = (
+                spark.read.schema(bucketed_schema)
+                .option("basePath", output_path).parquet(
+                    *[f"{output_path}/bucket={b}" for b in existing]
+                )
+                .join(
+                    F.broadcast(ids.select("doc_id")), "doc_id", "left_anti"
+                )
             )
-            merged = kept.unionByName(fresh)
-        else:  # doc new to the corpus whose hash bucket was never written
-            merged = fresh
-        merged.write.mode("overwrite").parquet(str(staging))
-        _swap_bucket_dir(fs, jvm, output_path, b, staging)
-        rewritten += 1
+            merged = kept.unionByName(staged)
+        else:  # every doc new to the corpus, no hash bucket written yet
+            merged = staged
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(
+            merge_root
+        )
+        for b in swap_buckets:
+            staging = P(f"{merge_root}/bucket={b}")
+            if not fs.exists(staging):
+                # all of the bucket's rows were replaced by docs that now
+                # extract to nothing: empty is the correct new state
+                fs.mkdirs(staging)
+            _swap_bucket_dir(fs, jvm, output_path, b, staging)
+            rewritten += 1
+        fs.delete(P(merge_root), True)
     ids.unpersist()
     fs.delete(stage_path, True)
     return {

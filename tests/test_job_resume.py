@@ -720,6 +720,72 @@ def test_delete_docs_via_dataframe_id_table(spark, tmp_path):
                 assert now == files, (k, b)
 
 
+def test_mass_delete_job_count_constant_in_buckets(spark, tmp_path):
+    """VERDICT r6 task 1: the delete rewrite is BATCHED — across 32+
+    affected buckets the whole data path is a constant handful of Spark
+    jobs (hit-count pass + one staged partitionBy(bucket) write), not
+    one-per-bucket; results equal the per-bucket semantics (survivors
+    exact, untouched buckets byte-identical) and the dry-run numbers
+    still predict the real run exactly."""
+    from key_resource_table_extractor_spark import job
+
+    k = 36
+    out = str(tmp_path / "out")
+    job.run_extraction(
+        spark, job.synthesize_spans(spark, 150, seed=42), out,
+        str(tmp_path / "cp"), run_id="mass", n_buckets=k,
+        partitions_per_bucket=1,
+    )
+    all_docs = sorted(
+        r["doc_id"] for r in job.read_output(spark, out)
+        .select("doc_id").distinct().collect()
+    )
+    targets = all_docs[:100]
+    ids_path = str(tmp_path / "ids.parquet")
+    spark.createDataFrame(
+        [(t,) for t in targets], "doc_id string"
+    ).write.parquet(ids_path)
+    target_buckets = {
+        int(r["b"]) for r in spark.read.parquet(ids_path).select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(k)).cast("int").alias("b")
+        ).collect()
+    }
+    assert len(target_buckets) >= 32, "fixture must spread over 32+ buckets"
+    mtimes = {
+        (b, f): os.path.getmtime(os.path.join(out, b, f))
+        for b in os.listdir(out) if b.startswith("bucket=")
+        for f in os.listdir(os.path.join(out, b))
+    }
+    dry = job.delete_docs(
+        spark, out, spark.read.parquet(ids_path), dry_run=True
+    )
+    sc = spark.sparkContext
+    group = "krt-mass-delete"
+    sc.setJobGroup(group, "batched delete under test")
+    try:
+        stats = job.delete_docs(spark, out, spark.read.parquet(ids_path))
+    finally:
+        sc.setJobGroup("", "")
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    # pre-batching this was >= 1 job per affected bucket (>= 32 here);
+    # the batched path is id-collect + hit-count + one staged write,
+    # each possibly split into a few AQE stage-jobs
+    assert 0 < n_jobs <= 16, n_jobs
+    assert stats["buckets_rewritten"] == len(dry["buckets_affected"])
+    assert stats["rows_removed"] == dry["rows_to_remove"]
+    assert set(dry["buckets_affected"]) == target_buckets
+    survivors = {
+        r["doc_id"]
+        for r in job.read_output(spark, out).select("doc_id").collect()
+    }
+    assert survivors == set(all_docs) - set(targets)
+    for (b, f), m in mtimes.items():
+        if int(b.split("=")[1]) not in target_buckets:
+            assert os.path.getmtime(os.path.join(out, b, f)) == m, (b, f)
+    # no staging leftovers after the batched swap loop
+    assert job.output_status(spark, out)["staging_leftovers"] == []
+
+
 def test_maintenance_round_trip_equals_fresh_run(spark, tmp_path):
     """The composed invariant an operator actually relies on: after
     compact → delete → upsert on a committed output, the surviving corpus
