@@ -120,7 +120,9 @@ DEMOTED = [
     # supplier_balance_by_nation (same tables, same join tree)
     "revenue_by_region",
     # C1 regex-extraction evidence duplicated by json_props_extract;
-    # the time-bucket groupBy shape also appears in event_sessions
+    # the derived-key time-bucket groupBy shape stays driver-covered by
+    # interval_union_islands (derived-key groupBy over the same orders
+    # table, in-window every round)
     "monthly_order_trend",
     # exact-quantile evidence duplicated by median_stats_by_lang
     # (same percentile machinery over the same events table)

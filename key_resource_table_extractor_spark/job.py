@@ -749,6 +749,14 @@ def compact_bucket(
     # size from the parquet files themselves — getContentSummary would
     # also count checksum/marker siblings and overstate the target split
     n_before, total = _parquet_dir_stats(fs, path)
+    if n_before == 0:
+        # a fully-deleted bucket is a LEGAL empty directory (the batched
+        # delete/upsert swap in bare dirs); nothing to compact, and a
+        # schema-less read would raise UNABLE_TO_INFER_SCHEMA
+        return {
+            "bucket": bucket, "bytes": 0,
+            "files_before": 0, "files_after": 0,
+        }
     n_files = max(1, -(-total // target_bytes))
     df = spark.read.parquet(bucket_dir)
     staging = jvm.org.apache.hadoop.fs.Path(
@@ -826,7 +834,11 @@ def compact_output(
                 "bucket": b,
                 "bytes": total,
                 "files_before": n,
-                "files_target": max(1, -(-total // target_bytes)),
+                # 0 for a legal fully-deleted empty bucket — the real
+                # run skips it rather than rewriting
+                "files_target": (
+                    max(1, -(-total // target_bytes)) if n else 0
+                ),
             })
         return {
             "dry_run": True,
@@ -921,6 +933,11 @@ def delete_docs(
                     paths.append(live)
                 elif fs.exists(P(backup)):
                     paths.append(backup)
+            # legal fully-deleted empty dirs hold nothing and must not
+            # sink schema inference when every path is one
+            paths = [
+                p for p in paths if _parquet_dir_stats(fs, P(p))[0]
+            ]
             by_bucket: dict[int, int] = {}
             if paths:
                 hits = (
@@ -955,10 +972,15 @@ def delete_docs(
         P = jvm.org.apache.hadoop.fs.Path
         for b in affected:
             _recover_bucket(fs, jvm, output_path, b)
+        # explicit-K partial: ids may hash to never-written buckets; a
+        # fully-deleted bucket is a legal EMPTY dir — it holds nothing
+        # to delete and a schema-less read of it would fail, so only
+        # dirs with parquet files join the hit-count scan
         existing = [
             b for b in affected
             if fs.exists(P(f"{output_path}/bucket={b}"))
-        ]  # explicit-K partial: ids may hash to never-written buckets
+            and _parquet_dir_stats(fs, P(f"{output_path}/bucket={b}"))[0]
+        ]
         removed = 0
         rewritten = 0
         if existing:
@@ -1108,6 +1130,11 @@ def upsert_docs(
                     paths.append(live)
                 elif fs.exists(P(backup)):
                     paths.append(backup)
+            # legal fully-deleted empty dirs hold nothing and must not
+            # sink schema inference when every path is one
+            paths = [
+                p for p in paths if _parquet_dir_stats(fs, P(p))[0]
+            ]
             docs_replacing = 0
             rows_to_replace = 0
             if paths:
@@ -1182,8 +1209,9 @@ def upsert_docs(
     ]
     # a bucket with nothing to remove (never written) and nothing to add
     # (its docs extracted zero rows) needs no swap at all
+    existing_set = set(existing)
     swap_buckets = [
-        b for b in affected if b in set(existing) or b in fresh_buckets
+        b for b in affected if b in existing_set or b in fresh_buckets
     ]
     merge_root = f"{output_path}.staging/upsert_merged"
     if swap_buckets:

@@ -83,6 +83,10 @@ def main(argv=None):
                    choices=["spans", "nested", "nested-colspans"])
     u.add_argument("--row-model", default=None,
                    choices=["votes", "anchor", "none"])
+    u.add_argument("--midcol-rowspans", action="store_true",
+                   help="match a corpus written with run_job.py "
+                        "--midcol-rowspans (replacement rows must follow "
+                        "the original run's extraction config)")
     u.add_argument("--gap-min-spaces", type=int, default=None)
     u.add_argument("--excepted-lines", default=None)
     u.add_argument("--excepted-pages", default=None)
@@ -133,6 +137,9 @@ def main(argv=None):
                 dry_run=args.dry_run,
             )
         else:
+            if args.midcol_rowspans and args.output_mode != "nested-colspans":
+                p.error("--midcol-rowspans requires "
+                        "--output-mode nested-colspans")
             summary = {"cmd": "upsert"} | job.upsert_docs(
                 spark,
                 job.read_spans(spark, args.input),
@@ -144,6 +151,12 @@ def main(argv=None):
                 gap_min_spaces=args.gap_min_spaces,
                 excepted_lines=_ints(args.excepted_lines),
                 excepted_pages=_ints(args.excepted_pages),
+                # only the colspan-aware nested path knows the flag; the
+                # flat extractor would reject the kwarg
+                **(
+                    {"midcol_rowspans": True}
+                    if args.midcol_rowspans else {}
+                ),
             )
         print(json.dumps(summary))
         return 0

@@ -786,6 +786,71 @@ def test_mass_delete_job_count_constant_in_buckets(spark, tmp_path):
     assert job.output_status(spark, out)["staging_leftovers"] == []
 
 
+def test_fully_deleted_bucket_is_legal_state_for_every_op(spark, tmp_path):
+    """Review r7: a full-bucket delete swaps in a truly EMPTY directory
+    (the batched partitionBy write emits no partition for it — reachable
+    in the nested modes, whose buckets hold only (doc_id, result) rows).
+    Every later operation must treat that as legal state, not a schema-
+    inference crash: compact skips it, a second delete targeting it
+    no-ops, dry-runs count it as zero, read_output still works, and an
+    upsert can repopulate it."""
+    from key_resource_table_extractor_spark import job, synth
+    from key_resource_table_extractor_spark.schemas import DOCUMENT_SPANS_SCHEMA
+
+    out = str(tmp_path / "out")
+    job.run_extraction(
+        spark, job.synthesize_spans(spark, 40, seed=42), out,
+        str(tmp_path / "cp"), run_id="emb", n_buckets=3,
+        partitions_per_bucket=2, output_mode="nested",
+    )
+    b0_docs = [
+        r["doc_id"] for r in job.read_output(spark, out)
+        .where(F.col("bucket") == 0).select("doc_id").distinct().collect()
+    ]
+    assert b0_docs, "fixture needs a populated bucket 0"
+    stats = job.delete_docs(spark, out, b0_docs)
+    assert stats["buckets_rewritten"] == 1
+    assert stats["rows_removed"] == len(b0_docs)
+    # bucket 0 is now an empty dir with zero parquet files
+    assert os.path.isdir(f"{out}/bucket=0")
+    assert not [
+        f for f in os.listdir(f"{out}/bucket=0") if f.endswith(".parquet")
+    ]
+    # read_output: schema comes from the surviving buckets
+    assert job.read_output(spark, out).where(F.col("bucket") == 0).count() == 0
+    # compact: dry-run reports zeros, real run skips the empty bucket
+    dry = job.compact_output(spark, out, dry_run=True)
+    empty_row = next(s for s in dry["buckets"] if s["bucket"] == 0)
+    assert empty_row == {
+        "bucket": 0, "bytes": 0, "files_before": 0, "files_target": 0
+    }
+    real = job.compact_output(spark, out)
+    assert next(s for s in real if s["bucket"] == 0)["files_after"] == 0
+    # delete targeting only the emptied bucket: clean no-op both ways
+    dry2 = job.delete_docs(spark, out, b0_docs[:1], dry_run=True)
+    assert dry2["buckets_affected"] == [] and dry2["rows_to_remove"] == 0
+    real2 = job.delete_docs(spark, out, b0_docs[:1])
+    assert real2 == {
+        "buckets_rewritten": 0, "buckets_total": 3, "rows_removed": 0
+    }
+    # upsert repopulates the emptied bucket
+    doc = b0_docs[0]
+    spans = [
+        {"kind": k, "text": t, "media_ref": m, "offset": o}
+        for (k, t, m, o) in synth.generate_doc(doc)
+    ]
+    up = job.upsert_docs(
+        spark,
+        spark.createDataFrame([(doc, spans)], DOCUMENT_SPANS_SCHEMA),
+        out,
+        output_mode="nested",
+    )
+    assert up["buckets_rewritten"] == 1
+    assert (
+        job.read_output(spark, out).where(F.col("doc_id") == doc).count() == 1
+    )
+
+
 def test_maintenance_round_trip_equals_fresh_run(spark, tmp_path):
     """The composed invariant an operator actually relies on: after
     compact → delete → upsert on a committed output, the surviving corpus
