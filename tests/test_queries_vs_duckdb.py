@@ -176,8 +176,11 @@ def test_rotation_round_file_is_deterministic_and_consistent(entry_mod,
         for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
         if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
     ]
-    if ns:  # both sources present: they must name the same round
-        assert rnd - 1 == max(ns), (
+    if ns:  # both sources present: they must name the same round —
+        # max(ns) == rnd - 1 before the driver deposits the current
+        # round's artifact, == rnd once it has (the artifact legally
+        # lands mid-round, and the suite must stay green in that state).
+        assert rnd - 1 <= max(ns) <= rnd, (
             f"ROUND={rnd} disagrees with max(CORRECTNESS_r*)={max(ns)} — "
             "bump ROUND with the round snapshot"
         )
