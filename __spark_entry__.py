@@ -18,7 +18,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -52,13 +52,28 @@ def _spans_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(gen, DOCUMENT_SPANS_SCHEMA)
 
 
-def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: full extraction cascade (SURVEY §7.2 v1–v2 semantics)."""
-    spans = _spans_from_documents(spark, sf_dir)
-    spans = job.salted_repartition(
-        spans, spark.sparkContext.defaultParallelism
+def _doc_ids_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare doc_id frame spread over the default parallelism BEFORE span
+    synthesis. The documents scan is a single small file (one task), so
+    repartitioning the 8-byte ids is what parallelizes generation; the
+    generated span payload itself never crosses an exchange (the prior
+    shape shuffled the full spans AFTER generating them on the scan's
+    1-2 tasks — guide §8: decide placement on small rows, move heavy
+    bytes once; here the heavy bytes never move at all)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
-    return job.data_spans(job.extract(spans))
+
+
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full extraction cascade (SURVEY §7.2 v1–v2 semantics).
+    Fused synth+extract in one Python stage (make_synth_extract_fn)."""
+    ids = _doc_ids_partitioned(spark, sf_dir)
+    out = ids.mapInPandas(
+        job.make_synth_extract_fn(), job.EXTRACTED_SPANS_DDL
+    )
+    return job.data_spans(out)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -68,13 +83,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q_extract_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested result-JSON variant of the flagship (reference S7 shape).
-    Salted like the flat path: the documents scan packs into a handful of
-    partitions, which would serialize the mapInPandas stage."""
-    spans = _spans_from_documents(spark, sf_dir)
-    spans = job.salted_repartition(
-        spans, spark.sparkContext.defaultParallelism
+    Fused synth+extract like the flat path."""
+    ids = _doc_ids_partitioned(spark, sf_dir)
+    return ids.mapInPandas(
+        job.make_synth_extract_fn(nested=True),
+        "doc_id string, result string",
     )
-    return job.extract_nested(spans)
 
 
 def q_extract_nested_colspans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,21 +98,24 @@ def q_extract_nested_colspans(spark: SparkSession, sf_dir: str) -> DataFrame:
     physically-evident mid-row spans), rowspans from the anchor row
     model's fold evidence (an anchor-less source line with >=2 non-empty
     cells is a covered detected row, not a wrap fragment)."""
-    spans = _spans_from_documents(spark, sf_dir)
-    spans = job.salted_repartition(
-        spans, spark.sparkContext.defaultParallelism
+    ids = _doc_ids_partitioned(spark, sf_dir)
+    return ids.mapInPandas(
+        job.make_synth_extract_fn(
+            nested=True, with_colspans=True, row_model="anchor"
+        ),
+        "doc_id string, result string",
     )
-    return job.extract_nested(spans, with_colspans=True, row_model="anchor")
 
 
 def q_extract_spans_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship under the detected-row merge model (J4 analog,
     row_model="anchor") instead of the continuation-vote model."""
-    spans = _spans_from_documents(spark, sf_dir)
-    spans = job.salted_repartition(
-        spans, spark.sparkContext.defaultParallelism
+    ids = _doc_ids_partitioned(spark, sf_dir)
+    out = ids.mapInPandas(
+        job.make_synth_extract_fn(row_model="anchor"),
+        job.EXTRACTED_SPANS_DDL,
     )
-    return job.data_spans(job.extract(spans, row_model="anchor"))
+    return job.data_spans(out)
 
 
 # the driver's correctness gate records exactly the FIRST 50 queries()

@@ -832,6 +832,13 @@ def extract_nested_batch(
         with_extents=with_colspans,
         midcol_rowspans=midcol_rowspans,
     )
+    return nested_from_columnar(out, with_colspans)
+
+
+def nested_from_columnar(out: dict, with_colspans: bool) -> pd.DataFrame:
+    """Fold ``extract_columnar`` output into the one-row-per-doc nested
+    result-JSON frame (the tail of ``extract_nested_batch``, split out so
+    the fused synth+extract path can reuse it on pre-built columns)."""
     docs: dict[str, dict] = {}
     fullspan: dict[tuple, bool] = {}
     extents: dict[tuple, tuple] = {}

@@ -74,6 +74,86 @@ def synthesize_spans(
     )
 
 
+def make_synth_extract_fn(
+    seed: int = 42,
+    key_format: str = "sfdoc_{}",
+    nested: bool = False,
+    with_colspans: bool = False,
+    merge_rows: bool = True,
+    excepted_lines: list[int] | None = None,
+    excepted_pages: list[int] | None = None,
+    row_model: str | None = None,
+    gap_min_spaces: int | None = None,
+    midcol_rowspans: bool = False,
+):
+    """Fused synth+extract ``mapInPandas`` fn over a bare ``doc_id`` frame.
+
+    The un-fused shape (generate spans → Arrow → exchange → Arrow →
+    extract) pays for the span payload three times: pandas→Arrow struct
+    serialization out of the generator, a full shuffle of the generated
+    text, and Arrow→numpy back into the extractor. Fusing keeps the spans
+    as plain Python tuples inside ONE task (guide §8: shuffle the 8-byte
+    doc ids, never the payload) — the only rows that ever cross Arrow are
+    the extraction OUTPUT rows. Byte-identical results: generation is
+    keyed by doc_id only and extraction is a pure per-doc function
+    (pinned by tests/test_modes_and_nested.py fused-equality tests).
+    """
+    import numpy as np
+
+    from . import spec
+    from .extractor.pipeline import (
+        _columns_to_pandas,
+        extract_columnar,
+        nested_from_columnar,
+    )
+
+    gap = spec.GAP_MIN_SPACES if gap_min_spaces is None else gap_min_spaces
+    kw = dict(
+        merge_rows=merge_rows,
+        excepted_lines=excepted_lines,
+        excepted_pages=excepted_pages,
+        row_model=row_model,
+        gap_min_spaces=gap,
+    )
+    if nested:
+        kw.update(with_extents=with_colspans, midcol_rowspans=midcol_rowspans)
+
+    def fn(batches):
+        import pandas as pd
+
+        gen = synth.generate_doc
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = [key_format.format(i) for i in pdf["doc_id"].tolist()]
+            lens = np.empty(len(keys), dtype=np.int64)
+            flat: list[tuple] = []
+            for j, k in enumerate(keys):
+                sp = gen(k, seed)
+                lens[j] = len(sp)
+                flat.extend(sp)
+            span_doc = np.repeat(np.arange(len(keys)), lens)
+            if flat:
+                kinds, texts, media, offs = zip(*flat)
+            else:
+                kinds = texts = media = offs = ()
+            out = extract_columnar(
+                np.array(keys, dtype=object),
+                span_doc,
+                np.array(kinds, dtype=object),
+                np.array(texts, dtype=object),
+                np.array(media, dtype=object),
+                np.array(offs, dtype=np.int64),
+                **kw,
+            )
+            if nested:
+                yield nested_from_columnar(out, with_colspans)
+            else:
+                yield _columns_to_pandas(out)
+
+    return fn
+
+
 # --------------------------------------------------------------------------
 # partitioning / skew
 # --------------------------------------------------------------------------

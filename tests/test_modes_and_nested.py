@@ -179,3 +179,53 @@ def test_nested_result_json_shape():
     nested_cells = [c for page in pages for tb in page["tables"]
                     for r in tb["rows"] for c in r]
     assert nested_cells == flat_cells
+
+
+def test_fused_synth_extract_equals_unfused_paths(spark):
+    """The round-8 fused synth+extract entry shape (shuffle bare doc ids,
+    generate AND extract in one mapInPandas stage) must be row-identical
+    to the prior generate → salted-repartition → extract shape, for every
+    entry mode (flat/anchor/nested/nested+colspans)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        ),
+    )
+    import __spark_entry__ as entry
+    from key_resource_table_extractor_spark import job
+
+    sf = "/root/testdata/sf0.001"
+
+    def old_flat(row_model=None):
+        spans = entry._spans_from_documents(spark, sf)
+        spans = job.salted_repartition(spans, 4)
+        return job.data_spans(job.extract(spans, row_model=row_model))
+
+    def old_nested(**kw):
+        spans = entry._spans_from_documents(spark, sf)
+        spans = job.salted_repartition(spans, 4)
+        return job.extract_nested(spans, **kw)
+
+    pairs = [
+        ("extract_spans", old_flat(), entry.q_extract_spans(spark, sf)),
+        (
+            "extract_spans_anchor",
+            old_flat("anchor"),
+            entry.q_extract_spans_anchor(spark, sf),
+        ),
+        ("extract_nested", old_nested(), entry.q_extract_nested(spark, sf)),
+        (
+            "extract_nested_colspans",
+            old_nested(with_colspans=True, row_model="anchor"),
+            entry.q_extract_nested_colspans(spark, sf),
+        ),
+    ]
+    for name, a, b in pairs:
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra, f"{name}: empty result"
+        assert ra == rb, f"{name}: fused path diverged from unfused"
