@@ -785,6 +785,13 @@ def bpe_apply_counts(docs, merges: list):
         return len(sym)
 
     def fn(batches):
+        # per-task memo of the pure word -> subword-count function:
+        # corpora repeat words massively (type/token ratio), so encoding
+        # each DISTINCT word once and summing dict lookups replaces the
+        # per-occurrence merge scan (guide §4.5 — amortize heavy work
+        # across the task; at sf1 this is 31 encodes for 2.7M words)
+        memo: dict[str, int] = {}
+        memo_get = memo.get
         for pdf in batches:
             toks, nw = [], []
             for t in pdf["text"]:
@@ -797,7 +804,14 @@ def bpe_apply_counts(docs, merges: list):
                     else [w for w in str(t).strip().lower().split() if w]
                 )
                 nw.append(len(ws))
-                toks.append(sum(encode_word(w) for w in ws))
+                tot = 0
+                for w in ws:
+                    v = memo_get(w)
+                    if v is None:
+                        v = encode_word(w)
+                        memo[w] = v
+                    tot += v
+                toks.append(tot)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -451,3 +451,45 @@ def test_dedup_clusters_storage_bounded_across_invocations(spark):
     # it would grow by 1 per call
     assert after_two <= after_one, (base, after_one, after_two)
     assert after_one - base <= 2, (base, after_one)
+
+
+def test_simhash_arrow_vote_matches_expression(spark):
+    """The round-8 numpy mapInArrow majority vote must be byte-identical
+    to the catalyst HOF expression form it replaced, including the null
+    and empty-text edge cases (null text folds to simhash 0 in both)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "hello world hello again and again"),
+            ("d2", None),
+            ("d3", ""),
+            ("d4", "one"),
+            ("d5", "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+        ],
+        "doc_id string, text string",
+    )
+    hs = F.array_distinct(
+        F.transform(dedup._words(), lambda w: F.xxhash64(w))
+    )
+    expr_form = F.expr(f"""
+      aggregate(
+        zip_with(
+          transform(sequence(0, {dedup.SIMHASH_BITS - 1}), b ->
+            size(filter(__hs, h -> ((h >> b) & 1) = 1))),
+          sequence(0, {dedup.SIMHASH_BITS - 1}),
+          (o, b) -> CASE WHEN o * 2 > size(__hs)
+                         THEN shiftleft(CAST(1 AS BIGINT), b)
+                         ELSE CAST(0 AS BIGINT) END),
+        CAST(0 AS BIGINT), (acc, x) -> acc | x)
+    """)
+    exp = sorted(
+        map(
+            tuple,
+            docs.withColumn("__hs", hs)
+            .select("doc_id", expr_form.alias("simhash"))
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, dedup.simhash_df(docs).collect()))
+    assert got == exp
