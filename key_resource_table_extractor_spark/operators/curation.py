@@ -57,31 +57,54 @@ def curation_pipeline(
     ``dedup_clusters``'s contract: consume it before the next
     ``curation_pipeline``/``dedup_clusters`` call on the same session.
     """
-    # the gated corpus feeds four consumers (both cluster key builds, the
-    # keeper anti join, the packing text join) and is deliberately NOT
-    # persisted: A/B at sf0.1 the cache write of the wide text-bearing
-    # table made the warm pipeline 30% SLOWER (5.0s → 6.6s) — recomputing
-    # the map-side gate + one fp window per consumer is cheaper than
-    # materializing text, the same trade the n-gram shingle table makes.
+    # Round-8 shape: every downstream decision depends only on the two
+    # cluster fingerprints, the source, and the token count — never on
+    # text (guide §8: decide on small rows). So the gate + exact-dedup
+    # window runs ONCE, projects to a narrow per-doc meta row (~60 B),
+    # and THAT is persisted for the five consumers (cluster roots/member,
+    # keeper anti join, mixture count + rank, packing). The round-5 A/B
+    # that rejected persisting applied to the WIDE text-bearing table
+    # (cache write of the payload cost more than recomputing the gate);
+    # the narrow meta inverts it: sf1 A/B 9.1s → 4.3s.
+    from .dedup import _persist_bounded, dedup_clusters_from_keys
+    from .text import _tokens
+
     exact = curated_corpus(docs, cols=("doc_id", "source", "text"))
-    clusters = dedup_clusters(exact.select("doc_id", "text"), fp_len=fp_len)
+    meta = _persist_bounded(
+        "curation_meta",
+        exact.select(
+            "doc_id",
+            "source",
+            F.md5(F.lower(F.substring("text", 1, fp_len))).alias("hk"),
+            F.md5(F.lower(F.expr(f"right(text, {fp_len})"))).alias("tk"),
+            F.least(_tokens(), F.lit(seq_len)).alias("tok"),
+        ),
+    )
+    keys = meta.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.array(F.col("hk"), F.col("tk")))
+        ).alias("k"),
+    )
+    clusters = dedup_clusters_from_keys(keys)
     losers = clusters.where(
         F.col("cluster_id") != F.col("doc_id")
     ).select("doc_id")
-    keepers = exact.join(losers, "doc_id", "left_anti")
-    sampled = domain_mixture_sample(keepers, weights).select("doc_id")
-    # recover text for token counting: the mixture keeps only short keys
-    # through its shuffle, so the wide column is re-attached by doc_id
+    keepers = meta.join(losers, "doc_id", "left_anti")
+    sampled = domain_mixture_sample(
+        keepers.select("doc_id", "source"), weights
+    ).select("doc_id")
     return sequence_packing(
-        keepers.join(sampled, "doc_id").select("doc_id", "text"),
+        keepers.join(sampled, "doc_id").select("doc_id", "tok"),
         seq_len=seq_len,
         shards=shards,
+        pretokenized=True,
     )
 
 
 def q_curation_pipeline(spark, sf_dir):
     packed = curation_pipeline(
-        load(spark, sf_dir, "documents"), MIXTURE_WEIGHTS
+        load(spark, sf_dir, "documents", rebalance=True), MIXTURE_WEIGHTS
     )
     return (
         packed.groupBy("shard")

@@ -89,7 +89,7 @@ def _shingle_hashes(n: int):
 # --------------------------------------------------------------------------
 
 def q_dedupe_prefix_fingerprint(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", rebalance=True)
     fp = F.md5(F.lower(F.substring("text", 1, 40)))
     return (
         docs.select(fp.alias("fp"), "doc_id")
@@ -161,14 +161,31 @@ def ngram_jaccard_pairs(
     pruned = sh.join(doc_freq.where(F.col("df") <= max_df), "h").select(
         "doc_id", "h"
     )
-    a = pruned.alias("a")
-    b = pruned.alias("b")
-    common = (
-        a.join(b, "h")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    # pair generation via bounded per-shingle doc lists instead of a
+    # second self-join pass (round 8): ``pruned`` leaves its join already
+    # hash-partitioned on ``h``, so the groupBy collects WITHOUT a new
+    # exchange, and each list is bounded by ``max_df`` (the cap exists
+    # precisely so this is safe at any scale). The ordered i<j
+    # combinations of the sorted list are exactly the a.doc_id < b.doc_id
+    # join pairs — same rows, same counts — but generated map-side: the
+    # b-side shuffle read and the per-partition hash-join build/probe
+    # disappear from the plan (1 big-stream exchange instead of 2).
+    ds = F.array_sort(F.collect_list("doc_id"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
+    )
+    common = (
+        pruned.groupBy("h")
+        .agg(ds.alias("ds"))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
         .where(F.col("common") >= min_common)
     )
@@ -196,7 +213,7 @@ def ngram_jaccard_pairs(
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents", rebalance=True))
 
 
 SQL_NGRAM_JACCARD_PAIRS = """
@@ -263,7 +280,7 @@ def decontaminate_against_probes(
 
 
 def q_decontamination_check(spark, sf_dir):
-    return decontaminate_against_probes(load(spark, sf_dir, "documents"))
+    return decontaminate_against_probes(load(spark, sf_dir, "documents", rebalance=True))
 
 
 SQL_DECONTAMINATION_CHECK = """
@@ -308,17 +325,43 @@ def dup_passage_stats(docs: DataFrame, n: int = 5) -> DataFrame:
     a hot shingle through one task). The join back on ``h`` reuses the
     groupBy's partitioning on one side and AQE handles residual skew.
     """
-    sh = _word_hash_base(docs, n).select(
+    base = _word_hash_base(docs, n)
+    sh = base.select(
         "doc_id",
         F.explode(F.array_distinct(_shingle_hashes(n))).alias("h"),
     )
-    doc_freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # Round-8 join-free shape: the old form joined the full (doc_id, h)
+    # stream BACK onto the per-h document frequency (a second shuffle of
+    # the shingle stream plus the join build/probe) only to count, per
+    # doc, how many of its shingles have df > 1. Equivalent with zero
+    # joins on the big stream: carry min(doc_id) through the df
+    # aggregate — for a df == 1 shingle that IS its only owner — so
+    # per-doc UNIQUE-shingle counts come from re-aggregating the (tiny
+    # relative to the stream) df table, and n_dup = n_shingles −
+    # n_unique with n_shingles computed MAP-SIDE from the in-row
+    # distinct shingle array (the ngram_jaccard_pairs sizes trick).
+    # Exchanges on the shingle stream: 2 → 1; the remaining joins are
+    # doc-cardinality aggregates. Identical results (oracle-matched).
+    sizes = base.select(
+        "doc_id", F.size(F.array_distinct(_shingle_hashes(n))).alias("n_sh")
+    )
+    doc_freq = sh.groupBy("h").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.min("doc_id").alias("owner"),
+    )
+    uniq = (
+        doc_freq.where(F.col("df") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_uniq"))
+    )
     return (
-        sh.join(doc_freq, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum((F.col("df") > 1).cast("long")).alias("n_dup_shingles"),
+        sizes.join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_sh").cast("long").alias("n_shingles"),
+            (F.col("n_sh") - F.coalesce("n_uniq", F.lit(0)))
+            .cast("long")
+            .alias("n_dup_shingles"),
         )
         .withColumn(
             "dup_fraction",
@@ -329,7 +372,7 @@ def dup_passage_stats(docs: DataFrame, n: int = 5) -> DataFrame:
 
 
 def q_dup_passage_stats(spark, sf_dir):
-    return dup_passage_stats(load(spark, sf_dir, "documents"))
+    return dup_passage_stats(load(spark, sf_dir, "documents", rebalance=True))
 
 
 SQL_DUP_PASSAGE_STATS = """
@@ -412,6 +455,17 @@ def dedup_clusters(
         "doc_id",
         F.explode(F.array_distinct(F.array(head, tail))).alias("k"),
     )
+    return dedup_clusters_from_keys(keys, max_iters=max_iters)
+
+
+def dedup_clusters_from_keys(
+    keys: DataFrame, max_iters: int = CC_MAX_ITERS
+) -> DataFrame:
+    """``dedup_clusters`` core over a prebuilt ``(doc_id, k)`` key table
+    (each doc's keys already in-row-distinct). Split out in round 8 so
+    ``curation_pipeline`` can feed it fingerprints from its narrow
+    persisted meta table instead of re-running the text scan + quality
+    gate per consumer; same algorithm, same contract."""
     # group size rides along so incident docs (>= 2 docs on some key) and
     # their min-root INITIAL labels come from the same join — identity
     # init would spend the whole first propagation round discovering
@@ -443,7 +497,7 @@ def dedup_clusters(
     # diffing the context's persistent-RDD registry around each
     # checkpoint and unpersist by id. Single-driver operation; the diff
     # window contains only this op's checkpoint.
-    sc = docs.sparkSession.sparkContext
+    sc = keys.sparkSession.sparkContext
 
     def _persisted_ids() -> set:
         it = sc._jsc.sc().getPersistentRDDs().iterator()
@@ -549,6 +603,9 @@ def dedup_clusters(
 
 
 def q_dedup_clusters(spark, sf_dir):
+    # no rebalance: the op is iteration/persist-bound (serial label-
+    # propagation rounds over tiny frames), and the md5 key build is
+    # light map work — A/B at sf1 the extra exchange only added cost
     return dedup_clusters(load(spark, sf_dir, "documents"))
 
 
@@ -743,7 +800,7 @@ def minhash_lsh_pairs(
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     # bounded output for the driver: band-agreement histogram of candidates
-    pairs = minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(load(spark, sf_dir, "documents", rebalance=True))
     return (
         pairs.groupBy("n_bands")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -873,7 +930,7 @@ def simhash_near_dups(
 
 def q_simhash_near_dups(spark, sf_dir):
     # bounded output for the driver: hamming-distance histogram of near-dups
-    pairs = simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=6)
+    pairs = simhash_near_dups(load(spark, sf_dir, "documents", rebalance=True), max_hamming=6)
     return (
         pairs.groupBy("hamming")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -923,7 +980,7 @@ def q_boilerplate_removal(spark, sf_dir):
     an md5 checksum of the reassembled text (fixed '. ' separator — the
     split consumed the original separators, so reassembly is normalized
     identically in both engines)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", rebalance=True)
     kept = remove_boilerplate(docs)
     reassembled = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),

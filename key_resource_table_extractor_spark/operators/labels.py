@@ -103,9 +103,14 @@ def q_label_transfer(spark, sf_dir):
     instance shift, so the LAST instance of every order surfaces a NULL
     label (length mismatch made visible, not hidden). One window + one
     co-partitioned (file, position) equi-join — no driver loop."""
-    from .common import load
-
-    src = load(spark, sf_dir, "lineitem").where(
+    # raw scan, NOT the rebalanced common.load: this op's contract is
+    # POSITIONAL, and (orderkey, linenumber) carries ties in the driver
+    # tables, so the row_number tie order must stay the file's scan
+    # order (the one the DuckDB oracle sees). A pre-window round-robin
+    # rebalance would reorder tie groups and scramble which label lands
+    # on which duplicate row. The window's own hash exchange provides
+    # the (only meaningful) parallelism.
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
         F.col("l_orderkey") % 50 == 0
     )
     instances = src.select(

@@ -73,6 +73,16 @@ def cosine_expr(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_prenormed(a, b, na, nb):
+    """``cosine_expr`` with the two norms precomputed per ROW instead of
+    per PAIR (round-8: the norms are per-vector values, so evaluating
+    them inside the pair join re-ran two thirds of the HOF work once per
+    candidate pair). Float-identical to ``cosine_expr``: the norm columns
+    are built with the same ``_norm`` expression, so every IEEE operation
+    and its order is unchanged — only the evaluation site moves."""
+    return _dot(a, b) / (na * nb)
+
+
 # --------------------------------------------------------------------------
 # brute-force cosine top-k (baseline; DuckDB-oracled)
 # --------------------------------------------------------------------------
@@ -81,9 +91,15 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     from pyspark.sql import Window
 
     q = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
     )
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("cn"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -91,7 +107,9 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            cosine_expr(F.col("qe"), F.col("ce")).alias("cos"),
+            cosine_prenormed(
+                F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
@@ -104,7 +122,7 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
 
 
 def q_cosine_topk(spark, sf_dir):
-    return cosine_topk(load(spark, sf_dir, "embeddings"))
+    return cosine_topk(load(spark, sf_dir, "embeddings", rebalance=True))
 
 
 SQL_COSINE_TOPK = """
@@ -157,6 +175,7 @@ def ann_lsh_topk(
     q = with_bucket.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
         F.col("bucket").alias("qb"),
     )
     # multi-probe LSH: own bucket + all buckets within PROBE_HAMMING bit flips
@@ -170,9 +189,12 @@ def ann_lsh_topk(
                 mask |= 1 << p
             probe_cols.append(F.col("qb").bitwiseXOR(F.lit(mask)))
     probes = F.array(*probe_cols)
-    q = q.select("query_id", "qe", F.explode(probes).alias("bucket"))
+    q = q.select("query_id", "qe", "qn", F.explode(probes).alias("bucket"))
     cand = with_bucket.select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "bucket"
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("cn"),
+        "bucket",
     )
     scored = (
         F.broadcast(q)
@@ -180,7 +202,9 @@ def ann_lsh_topk(
         .where(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id", "cand_id",
-            cosine_expr(F.col("qe"), F.col("ce")).alias("cos"),
+            cosine_prenormed(
+                F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")
+            ).alias("cos"),
         )
         .dropDuplicates(["query_id", "cand_id"])
     )
@@ -194,7 +218,7 @@ def ann_lsh_topk(
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    return ann_lsh_topk(load(spark, sf_dir, "embeddings"))
+    return ann_lsh_topk(load(spark, sf_dir, "embeddings", rebalance=True))
 
 
 def _sql_ann_lsh_topk() -> str:
@@ -497,6 +521,7 @@ def ann_ivf_topk(
     cand = ivf_assign_arrow(emb, cents).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("cn"),
         "cid",
     )
     qrows = (
@@ -524,14 +549,16 @@ def ann_ivf_topk(
             )
     q = emb.sparkSession.createDataFrame(
         probe_rows, "query_id bigint, cid int, qe array<double>"
-    )
+    ).withColumn("qn", _norm(F.col("qe")))
     scored = (
         F.broadcast(q)
         .join(cand, "cid")
         .where(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id", "cand_id",
-            cosine_expr(F.col("qe"), F.col("ce")).alias("cos"),
+            cosine_prenormed(
+                F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")
+            ).alias("cos"),
         )
         .dropDuplicates(["query_id", "cand_id"])
     )
@@ -545,7 +572,7 @@ def ann_ivf_topk(
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", rebalance=True)
     nlist, nprobe = derived_ivf_params(emb.count())
     # one Lloyd pass over the hash seeds: +0.08 recall@5 measured on the
     # isotropic fixtures, one extra bounded-aggregate pass
@@ -638,7 +665,10 @@ def semantic_dedup(
 
 
 def q_semantic_dedup(spark, sf_dir):
-    # bounded output for the driver: per-cluster corpus vs kept counts
+    # bounded output for the driver: per-cluster corpus vs kept counts.
+    # No rebalance: assignment is a light numpy kernel and the op is
+    # dominated by the persisted-assignment materialization + per-cluster
+    # GEMM; A/B at sf1 the extra exchange cost ~0.8s and bought nothing.
     emb = load(spark, sf_dir, "embeddings")
     nlist, _ = derived_ivf_params(emb.count())
     kept = semantic_dedup(emb, threshold=0.9, nlist=nlist)
@@ -657,7 +687,7 @@ def q_semantic_dedup(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_embedding_near_dups(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", rebalance=True)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
                    F.col("label").alias("la"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
@@ -994,7 +1024,7 @@ def ann_pq_topk(
 
 
 def q_ann_pq_topk(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", rebalance=True)
     ksub, shortlist = derived_pq_params(emb.count())
     return ann_pq_topk(emb, ksub=ksub, shortlist=shortlist)
 

@@ -27,7 +27,7 @@ def _tokens():
 # --------------------------------------------------------------------------
 
 def q_token_counts_by_lang(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", rebalance=True)
     return (
         docs.select("lang", _tokens().alias("n_tokens"))
         .groupBy("lang")
@@ -62,7 +62,7 @@ _BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
 
 
 def q_subword_token_stats(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", rebalance=True)
     sub = F.regexp_count(F.lower(F.col("text")), F.lit(_BPE_PAT))
     ws = _tokens()
     return (
@@ -169,7 +169,7 @@ def curated_corpus(docs, cols=("doc_id", "lang")):
 
 
 def q_curated_corpus(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", rebalance=True)
     total = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
     kept = curated_corpus(docs).groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -217,7 +217,7 @@ GROUP BY d.lang ORDER BY d.lang
 # --------------------------------------------------------------------------
 
 def q_lang_guess_confusion(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", rebalance=True)
     stop = F.regexp_count(F.lower(F.col("text")), F.lit(_STOPWORDS_PAT))
     pred = F.when(stop >= 3, F.lit("en")).otherwise(F.lit("other"))
     return (
@@ -244,7 +244,7 @@ FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
 # --------------------------------------------------------------------------
 
 def q_doc_fingerprints(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", rebalance=True)
     fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""))
     return (
         docs.select("source", fp.alias("fp"))
@@ -274,7 +274,7 @@ def q_vocab_top_ngrams(spark, sf_dir):
     then one short-key count; deterministic total order (df desc, ngram).
     At 100 TB the per-ngram partial counts aggregate map-side and only the
     (ngram, count) pairs shuffle — the classic vocab-count job."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", rebalance=True)
     w = F.split(F.trim(F.col("text")), r"\s+")
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size(w) - 2),
@@ -319,7 +319,7 @@ def q_repetition_stats(spark, sf_dir):
     double division and final round on the same exact sum. The
     "repetitive" threshold uses the same quantized value (> 100000 ⇔
     rep > 0.1 at 6-decimal granularity) so both engines share one rule."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", rebalance=True)
     w = F.split(F.trim(F.col("text")), r"\s+")
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size(w) - 2),
@@ -378,7 +378,8 @@ PACK_SEQ_LEN = 256  # default training-sequence length; the query, the
 
 
 def sequence_packing(
-    docs, seq_len: int = PACK_SEQ_LEN, shards: int = 8
+    docs, seq_len: int = PACK_SEQ_LEN, shards: int = 8,
+    pretokenized: bool = False,
 ):
     """Pack tokenized documents into fixed-length training sequences — the
     step between a curated corpus and a training dataloader. Greedy
@@ -396,13 +397,22 @@ def sequence_packing(
     Token counts are computed map-side with built-ins before the shuffle;
     only (doc_id, tok) pairs move. The DuckDB oracle replays the same
     greedy fold as a recursive CTE.
+
+    ``pretokenized=True`` takes an already-counted ``(doc_id, tok)``
+    frame (tok = least(whitespace tokens, seq_len), the same value this
+    function would compute) — lets a caller that already paid the text
+    pass (curation_pipeline's narrow meta) skip re-reading text.
     """
     import pandas as pd
 
+    tok = (
+        F.col("tok") if pretokenized
+        else F.least(_tokens(), F.lit(seq_len))
+    )
     toks = docs.select(
         "doc_id",
         F.pmod(F.col("doc_id"), F.lit(shards)).alias("shard"),
-        F.least(_tokens(), F.lit(seq_len)).alias("tok"),
+        tok.alias("tok"),
     )
 
     def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -428,7 +438,7 @@ def sequence_packing(
 
 def q_sequence_packing(spark, sf_dir):
     # bounded driver output: per-shard packing efficiency
-    packed = sequence_packing(load(spark, sf_dir, "documents"))
+    packed = sequence_packing(load(spark, sf_dir, "documents", rebalance=True))
     return (
         packed.groupBy("shard")
         .agg(
@@ -550,7 +560,7 @@ def bm25_topk(docs, n_queries: int = BM25_N_QUERIES, k: int = BM25_K):
 
 
 def q_bm25_topk(spark, sf_dir):
-    return bm25_topk(load(spark, sf_dir, "documents"))
+    return bm25_topk(load(spark, sf_dir, "documents", rebalance=True))
 
 
 SQL_BM25_TOPK = f"""
@@ -651,7 +661,7 @@ def chunk_documents(
 
 
 def q_chunk_documents(spark, sf_dir):
-    return chunk_documents(load(spark, sf_dir, "documents")).orderBy(
+    return chunk_documents(load(spark, sf_dir, "documents", rebalance=True)).orderBy(
         "doc_id", "chunk_idx"
     )
 
@@ -834,7 +844,7 @@ def q_bpe_train_stats(spark, sf_dir):
     No SQL oracle — BPE's greedy loop is not SQL-expressible; the
     semantic oracle is tests/test_bpe.py (exact merge-sequence equality
     with an independent pure-Python reference, plus determinism)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", rebalance=True)
     merges = bpe_train(docs)
     tot = bpe_apply_counts(docs, merges).agg(
         F.sum("n_subwords").alias("total_subwords"),
@@ -873,7 +883,7 @@ def redact_pii(col):
 
 
 def q_pii_redaction_stats(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", rebalance=True)
     did = F.col("doc_id")
     seeded = F.concat(
         F.col("text"),
