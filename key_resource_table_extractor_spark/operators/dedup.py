@@ -500,11 +500,14 @@ def dedup_clusters_from_keys(
     sc = keys.sparkSession.sparkContext
 
     def _persisted_ids() -> set:
-        it = sc._jsc.sc().getPersistentRDDs().iterator()
-        ids = set()
-        while it.hasNext():
-            ids.add(it.next()._1())
-        return ids
+        # ONE py4j round trip (keySet -> jvm array) instead of iterating
+        # the scala map entry-by-entry over the gateway: the registry is
+        # scanned twice per checkpoint round, and the per-element
+        # iterator cost grew with every persisted RDD in the session
+        # (round-8 profiling: the iterator form charged the label-
+        # propagation loop hundreds of ms per round in long sessions)
+        jmap = sc._jsc.getPersistentRDDs()
+        return {int(rid) for rid in jmap.keySet().toArray()}
 
     def _checkpoint_tracked(df):
         before = _persisted_ids()
