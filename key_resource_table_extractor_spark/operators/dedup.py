@@ -89,7 +89,7 @@ def _shingle_hashes(n: int):
 # --------------------------------------------------------------------------
 
 def q_dedupe_prefix_fingerprint(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents", rebalance=True)
+    docs = load(spark, sf_dir, "documents")
     fp = F.md5(F.lower(F.substring("text", 1, 40)))
     return (
         docs.select(fp.alias("fp"), "doc_id")
@@ -803,7 +803,7 @@ def minhash_lsh_pairs(
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     # bounded output for the driver: band-agreement histogram of candidates
-    pairs = minhash_lsh_pairs(load(spark, sf_dir, "documents", rebalance=True))
+    pairs = minhash_lsh_pairs(load(spark, sf_dir, "documents"))
     return (
         pairs.groupBy("n_bands")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -933,7 +933,7 @@ def simhash_near_dups(
 
 def q_simhash_near_dups(spark, sf_dir):
     # bounded output for the driver: hamming-distance histogram of near-dups
-    pairs = simhash_near_dups(load(spark, sf_dir, "documents", rebalance=True), max_hamming=6)
+    pairs = simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=6)
     return (
         pairs.groupBy("hamming")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -983,7 +983,7 @@ def q_boilerplate_removal(spark, sf_dir):
     an md5 checksum of the reassembled text (fixed '. ' separator — the
     split consumed the original separators, so reassembly is normalized
     identically in both engines)."""
-    docs = load(spark, sf_dir, "documents", rebalance=True)
+    docs = load(spark, sf_dir, "documents")
     kept = remove_boilerplate(docs)
     reassembled = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),

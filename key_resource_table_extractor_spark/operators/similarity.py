@@ -1024,7 +1024,7 @@ def ann_pq_topk(
 
 
 def q_ann_pq_topk(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings", rebalance=True)
+    emb = load(spark, sf_dir, "embeddings")
     ksub, shortlist = derived_pq_params(emb.count())
     return ann_pq_topk(emb, ksub=ksub, shortlist=shortlist)
 

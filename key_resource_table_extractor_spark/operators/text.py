@@ -27,7 +27,7 @@ def _tokens():
 # --------------------------------------------------------------------------
 
 def q_token_counts_by_lang(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents", rebalance=True)
+    docs = load(spark, sf_dir, "documents")
     return (
         docs.select("lang", _tokens().alias("n_tokens"))
         .groupBy("lang")
@@ -244,7 +244,7 @@ FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
 # --------------------------------------------------------------------------
 
 def q_doc_fingerprints(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents", rebalance=True)
+    docs = load(spark, sf_dir, "documents")
     fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""))
     return (
         docs.select("source", fp.alias("fp"))
@@ -438,7 +438,7 @@ def sequence_packing(
 
 def q_sequence_packing(spark, sf_dir):
     # bounded driver output: per-shard packing efficiency
-    packed = sequence_packing(load(spark, sf_dir, "documents", rebalance=True))
+    packed = sequence_packing(load(spark, sf_dir, "documents"))
     return (
         packed.groupBy("shard")
         .agg(
