@@ -485,11 +485,18 @@ def dedup_clusters_from_keys(
         .select(F.col("root").alias("src"), F.col("doc_id").alias("dst"))
         .distinct()
     )
+    # persist the iteration-invariant edge table PRE-PARTITIONED on the
+    # per-round join key (round 8): every propagation round joins edges
+    # on ``src``, and an un-keyed persist re-shuffled the edge side once
+    # per round — hash-partitioning it before the persist drops one
+    # exchange from every round (A/B at sf1: 3.1-3.5s → 2.1-2.3s,
+    # labels byte-identical). The classic bucket-the-static-side trade;
+    # at warehouse scale this is the same persisted width, just keyed.
     edges = _persist_bounded(
         "cc_edges",
         star.unionByName(
             star.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ),
+        ).repartition(F.col("src")),
     )
     # localCheckpoint's persisted blocks belong to an INTERNAL RDD —
     # ``df.rdd.unpersist()`` frees only a derived Python-conversion RDD
@@ -788,6 +795,11 @@ def minhash_lsh_pairs(
         pruned = exploded.join(
             bucket_sizes.where(F.col("bn") <= max_bucket), ["band", "bval"]
         )
+    # NOTE (round 8): the ngram-style collect_list pair generation was
+    # tried here and measured SLOWER (2.4s vs 1.5s at sf1): unlike the
+    # shingle stream, the band table is PERSISTED, so the self-join's
+    # b-side is a cheap cache read into a codegen'd hash join, while the
+    # combination build is interpreted HOFs. The join form stays.
     a = pruned.alias("a")
     b = pruned.alias("b")
     return (
@@ -913,6 +925,10 @@ def simhash_near_dups(
         ex = ex.join(
             band_sizes.where(F.col("bn") <= max_bucket), ["band", "bval"]
         )
+    # NOTE (round 8): the ngram-style collect_list pair generation was
+    # tried here and measured SLOWER (1.7s vs 0.6s at sf1) — same
+    # reason as minhash_lsh_pairs: the persisted band table makes the
+    # self-join a cache read into codegen. The join form stays.
     a = ex.alias("a")
     b = ex.alias("b")
     return (
